@@ -1,0 +1,318 @@
+"""Adaptive kernel router — learned per-call kernel selection.
+
+The rebirth of the reference's ``AdaptiveRouter`` (reference
+core/hybrid_router.py:20-259): where the reference picked GPU-vs-photonic
+from a 7-dim feature vector with online linear latency models, this router
+picks among *real TPU kernel variants* (fused short-seq / flash-tiled /
+fp8-flash / paged-decode / ring) from **measured** per-bucket latencies —
+the honest replacement for the reference's fake-learned cost model
+(BASELINE.md hard part #4).
+
+Kept from the reference, because they are good serving mechanics:
+* workload bucketing with a bounded prediction cache (hybrid_router.py:106-135,
+  seq quantized — here to powers of two — with FIFO cap 1000),
+* heuristic fallback below a sample threshold (hybrid_router.py:160-173),
+* epsilon-greedy exploration (hybrid_router.py:151-152),
+* EMA performance updates fed back after every call (update_performance),
+* JSON persistence of learned state (autonomous_optimizer.py:537-576's
+  pickle, reborn as a portable JSON profile).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import math
+import os
+import random
+import threading
+import time
+from collections import OrderedDict, defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..config import get_config
+from ..utils.logging import get_logger
+
+logger = get_logger("router")
+
+
+class KernelKind(str, enum.Enum):
+    """The kernel registry (SURVEY.md §7 phase 5)."""
+
+    FUSED = "fused"  # XLA-fused O(S^2), short sequences
+    FLASH = "flash"  # Pallas tiled online-softmax, bf16
+    FLASH_FP8 = "flash_fp8"  # Pallas flash with fp8 block-quantized QK/PV
+    PAGED_DECODE = "paged_decode"  # paged KV-cache decode kernel
+    RING = "ring"  # sequence-parallel ring attention
+
+
+@dataclasses.dataclass(frozen=True)
+class WorkloadCharacteristics:
+    """Per-call workload features (reference hybrid_router.py:43-53)."""
+
+    batch_size: int
+    q_len: int
+    kv_len: int
+    num_heads: int
+    head_dim: int
+    causal: bool = False
+    has_mask: bool = False
+    need_weights: bool = False
+    is_decode: bool = False
+    dtype: str = "bfloat16"
+
+    def bucket(self) -> Tuple:
+        """Quantized cache key (reference rounds seq to 32; we use pow2)."""
+
+        def p2(x: int) -> int:
+            return 1 << max(0, (x - 1).bit_length())
+
+        return (
+            p2(self.batch_size),
+            p2(self.q_len),
+            p2(self.kv_len),
+            self.num_heads,
+            self.head_dim,
+            self.causal,
+            self.has_mask,
+            self.need_weights,
+            self.is_decode,
+            self.dtype,
+        )
+
+    @property
+    def total_flops(self) -> float:
+        return 4.0 * self.batch_size * self.num_heads * self.q_len * self.kv_len * self.head_dim
+
+
+@dataclasses.dataclass
+class PerformanceMetrics:
+    """What we record per call (reference hybrid_router.py PerformanceMetrics)."""
+
+    latency_ms: float
+    kernel: KernelKind
+    timestamp: float = dataclasses.field(default_factory=time.time)
+
+
+class _EMA:
+    __slots__ = ("value", "count")
+
+    def __init__(self) -> None:
+        self.value: float = 0.0
+        self.count: int = 0
+
+    def update(self, x: float, beta: float = 0.8) -> None:
+        if self.count == 0:
+            self.value = x
+        else:
+            self.value = beta * self.value + (1.0 - beta) * x
+        self.count += 1
+
+
+class AdaptiveRouter:
+    """Measured-latency kernel dispatch with exploration.
+
+    Thread-safe (reference keeps an RLock on every shared structure,
+    hybrid_router.py:87).
+    """
+
+    MIN_SAMPLES_PER_BUCKET = 2
+    CACHE_CAP = 1000
+
+    def __init__(
+        self,
+        exploration_rate: float = 0.05,
+        seed: Optional[int] = None,
+        state_path: Optional[str] = None,
+    ) -> None:
+        self.exploration_rate = exploration_rate
+        self._rng = random.Random(seed)
+        self._lock = threading.RLock()
+        # latency tables: {kernel: {bucket: EMA}}
+        self._latency: Dict[KernelKind, Dict[Tuple, _EMA]] = defaultdict(dict)
+        self._decision_cache: "OrderedDict[Tuple, KernelKind]" = OrderedDict()
+        self._history: List[PerformanceMetrics] = []
+        self._total_requests = 0
+        self.state_path = state_path
+        if state_path and os.path.exists(state_path):
+            try:
+                self.load_state(state_path)
+            except (OSError, ValueError, KeyError) as e:
+                logger.warning("failed to load router state: %s", e)
+
+    # -- eligibility ------------------------------------------------------
+
+    def eligible_kernels(
+        self, w: WorkloadCharacteristics, available: Sequence[KernelKind]
+    ) -> List[KernelKind]:
+        """Hard feasibility gates (not preferences)."""
+        out = []
+        for kind in available:
+            if w.need_weights and kind != KernelKind.FUSED:
+                continue  # only the fused path materializes weights
+            if w.has_mask and kind not in (KernelKind.FUSED,):
+                continue  # arbitrary masks currently only on the fused path
+            if kind == KernelKind.PAGED_DECODE and not w.is_decode:
+                continue
+            out.append(kind)
+        return out or [KernelKind.FUSED]
+
+    # -- selection --------------------------------------------------------
+
+    def heuristic_selection(
+        self, w: WorkloadCharacteristics, eligible: Sequence[KernelKind]
+    ) -> KernelKind:
+        """Threshold dispatch (reference hybrid_router.py:160-173 reborn).
+
+        The reference routed to photonic when seq >= photonic_threshold; we
+        route to flash when seq >= flash_threshold, ring above ring_threshold.
+        """
+        cfg = get_config()
+        if w.is_decode and KernelKind.PAGED_DECODE in eligible:
+            return KernelKind.PAGED_DECODE
+        if max(w.q_len, w.kv_len) >= cfg.ring_threshold and KernelKind.RING in eligible:
+            return KernelKind.RING
+        if max(w.q_len, w.kv_len) >= cfg.flash_threshold:
+            for kind in (KernelKind.FLASH_FP8, KernelKind.FLASH):
+                if kind in eligible:
+                    return kind
+        if KernelKind.FUSED in eligible:
+            return KernelKind.FUSED
+        return eligible[0]
+
+    def select_kernel(
+        self,
+        w: WorkloadCharacteristics,
+        available: Sequence[KernelKind],
+    ) -> KernelKind:
+        """Pick the kernel for this call (reference select_device :96-158)."""
+        with self._lock:
+            self._total_requests += 1
+            eligible = self.eligible_kernels(w, available)
+            if len(eligible) == 1:
+                return eligible[0]
+            bucket = w.bucket()
+            cache_key = (bucket, tuple(eligible))
+
+            explore = self._rng.random() < self.exploration_rate
+            if not explore:
+                cached = self._decision_cache.get(cache_key)
+                if cached is not None and cached in eligible:
+                    return cached
+
+            measured = {
+                k: self._latency[k][bucket]
+                for k in eligible
+                if bucket in self._latency[k]
+                and self._latency[k][bucket].count >= self.MIN_SAMPLES_PER_BUCKET
+            }
+            unmeasured = [k for k in eligible if k not in measured]
+
+            if explore and unmeasured:
+                choice = self._rng.choice(unmeasured)
+            elif unmeasured:
+                # Warmup: measure every eligible kernel before exploiting
+                # (reference _warmup_forward :543-597 runs both and keeps faster).
+                choice = unmeasured[0]
+            elif explore:
+                choice = self._rng.choice(eligible)
+            else:
+                choice = min(measured, key=lambda k: measured[k].value)
+                self._cache_decision(cache_key, choice)
+            return choice
+
+    def _cache_decision(self, key: Tuple, kernel: KernelKind) -> None:
+        self._decision_cache[key] = kernel
+        while len(self._decision_cache) > self.CACHE_CAP:
+            self._decision_cache.popitem(last=False)
+
+    # -- feedback ---------------------------------------------------------
+
+    def update_performance(
+        self, kernel: KernelKind, w: WorkloadCharacteristics, latency_ms: float
+    ) -> None:
+        """Record a measured latency (reference update_performance :181-242)."""
+        with self._lock:
+            bucket = w.bucket()
+            ema = self._latency[kernel].setdefault(bucket, _EMA())
+            ema.update(latency_ms)
+            self._history.append(PerformanceMetrics(latency_ms, kernel))
+            if len(self._history) > 10_000:
+                del self._history[:5000]
+            # New measurement may change the winner: drop cached decisions
+            # for this bucket.
+            stale = [k for k in self._decision_cache if k[0] == bucket]
+            for k in stale:
+                del self._decision_cache[k]
+
+    def predicted_latency(
+        self, kernel: KernelKind, w: WorkloadCharacteristics
+    ) -> Optional[float]:
+        with self._lock:
+            ema = self._latency[kernel].get(w.bucket())
+            return ema.value if ema and ema.count else None
+
+    # -- stats / persistence ---------------------------------------------
+
+    def get_stats(self) -> Dict:
+        with self._lock:
+            per_kernel: Dict[str, Dict] = {}
+            for kernel, table in self._latency.items():
+                lat = [e.value for e in table.values() if e.count]
+                per_kernel[kernel.value] = {
+                    "buckets_measured": len(table),
+                    "mean_bucket_latency_ms": (sum(lat) / len(lat)) if lat else None,
+                }
+            recent = self._history[-100:]
+            usage: Dict[str, int] = defaultdict(int)
+            for m in recent:
+                usage[m.kernel.value] += 1
+            return {
+                "total_requests": self._total_requests,
+                "cache_entries": len(self._decision_cache),
+                "kernels": per_kernel,
+                "recent_usage": dict(usage),
+            }
+
+    def save_state(self, path: Optional[str] = None) -> None:
+        path = path or self.state_path
+        if not path:
+            return
+        with self._lock:
+            payload = {
+                "version": 1,
+                "latency": {
+                    kernel.value: [
+                        {"bucket": list(bucket), "value": ema.value, "count": ema.count}
+                        for bucket, ema in table.items()
+                    ]
+                    for kernel, table in self._latency.items()
+                },
+            }
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
+    def load_state(self, path: str) -> None:
+        with open(path) as f:
+            payload = json.load(f)
+        with self._lock:
+            for kernel_name, entries in payload.get("latency", {}).items():
+                try:
+                    kernel = KernelKind(kernel_name)
+                except ValueError:
+                    continue
+                for e in entries:
+                    ema = _EMA()
+                    ema.value = float(e["value"])
+                    ema.count = int(e["count"])
+                    self._latency[kernel][tuple(e["bucket"])] = ema
+
+    def reset(self) -> None:
+        with self._lock:
+            self._latency.clear()
+            self._decision_cache.clear()
+            self._history.clear()
+            self._total_requests = 0

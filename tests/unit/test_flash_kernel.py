@@ -1,0 +1,168 @@
+"""Flash kernel vs oracle — the core numerics gates.
+
+Port of the reference's unit strategy (reference
+tests/unit/test_flash_attention_3.py): shape assertions, forward parity,
+causal/cross attention, gradient checks, numerical stability at extreme
+inputs. Tolerances follow BASELINE.md's ladder (weights-sum atol 1e-3;
+quantized rel-err < 0.1 comes later in quant tests).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photonic_flash_attention_tpu.ops.flash import flash_attention
+from photonic_flash_attention_tpu.ops.reference import (
+    attention_blockwise,
+    attention_reference,
+)
+
+from ..conftest import assert_close, max_rel_err, rel_err_norm
+
+
+class TestOracleSelfConsistency:
+    def test_blockwise_matches_standard(self, qkv):
+        q, k, v = qkv
+        ref, _ = attention_reference(q, k, v)
+        blk = attention_blockwise(q, k, v, block_kv=128)
+        assert_close(blk, ref)
+
+    def test_blockwise_causal(self, qkv):
+        q, k, v = qkv
+        ref, _ = attention_reference(q, k, v, causal=True)
+        blk = attention_blockwise(q, k, v, causal=True, block_kv=128)
+        assert_close(blk, ref)
+
+    def test_weights_sum_to_one(self, qkv):
+        q, k, v = qkv
+        _, w = attention_reference(q, k, v, need_weights=True)
+        sums = jnp.sum(w, axis=-1)
+        np.testing.assert_allclose(np.asarray(sums), 1.0, atol=1e-3)
+
+
+class TestFlashKernel:
+    def test_output_shape_dtype(self, qkv):
+        q, k, v = qkv
+        out = flash_attention(q, k, v)
+        assert out.shape == q.shape
+        assert out.dtype == q.dtype
+
+    def test_matches_oracle(self, qkv):
+        q, k, v = qkv
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention(q, k, v, block_q=128, block_kv=128)
+        assert_close(out, ref)
+
+    def test_matches_oracle_causal(self, qkv):
+        q, k, v = qkv
+        ref, _ = attention_reference(q, k, v, causal=True)
+        out = flash_attention(q, k, v, causal=True, block_q=128, block_kv=128)
+        assert_close(out, ref)
+
+    def test_unaligned_seq_padding(self, rng):
+        """Sequence lengths not divisible by the block size."""
+        q = jnp.asarray(rng.standard_normal((1, 200, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 333, 4, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 333, 4, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention(q, k, v, block_q=128, block_kv=128)
+        assert_close(out, ref)
+
+    def test_cross_attention_causal_alignment(self, rng):
+        """Sq < Skv causal (decode-style, end-aligned diagonal)."""
+        q = jnp.asarray(rng.standard_normal((2, 128, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 384, 4, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 384, 4, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        out = flash_attention(q, k, v, causal=True, block_q=128, block_kv=128)
+        assert_close(out, ref)
+
+    def test_gqa_head_broadcast(self, rng):
+        q = jnp.asarray(rng.standard_normal((1, 256, 8, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention(q, k, v, block_q=128, block_kv=128)
+        assert_close(out, ref)
+
+    def test_numerical_stability_extreme_inputs(self, rng):
+        """±10σ inputs (reference test_flash_attention_3.py:249-262)."""
+        q = jnp.asarray(rng.standard_normal((1, 128, 2, 64)) * 10, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 128, 2, 64)) * 10, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
+        out = flash_attention(q, k, v, block_q=128, block_kv=128)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        ref, _ = attention_reference(q, k, v)
+        assert_close(out, ref, atol=1e-2, rtol=1e-2)
+
+    def test_bf16_rel_error_gate(self, rng):
+        """bf16 kernel vs fp32 oracle within the 10% reference gate."""
+        q32 = rng.standard_normal((2, 256, 4, 64)).astype(np.float32)
+        k32 = rng.standard_normal((2, 256, 4, 64)).astype(np.float32)
+        v32 = rng.standard_normal((2, 256, 4, 64)).astype(np.float32)
+        ref, _ = attention_reference(
+            jnp.asarray(q32), jnp.asarray(k32), jnp.asarray(v32)
+        )
+        out = flash_attention(
+            jnp.asarray(q32, jnp.bfloat16),
+            jnp.asarray(k32, jnp.bfloat16),
+            jnp.asarray(v32, jnp.bfloat16),
+            block_q=128,
+            block_kv=128,
+        )
+        assert rel_err_norm(out, ref) < 0.1
+
+
+class TestFlashGradients:
+    def test_grads_match_oracle(self, rng):
+        q = jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, block_q=128, block_kv=128) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v)[0] ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+            assert_close(gf, gr, err_msg=f"d{name} mismatch")
+
+    def test_grads_causal(self, rng):
+        q = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, causal=True, block_q=128, block_kv=128) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, causal=True)[0] ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+            assert_close(gf, gr, err_msg=f"d{name} mismatch")
+
+    def test_grads_unaligned(self, rng):
+        q = jnp.asarray(rng.standard_normal((1, 200, 2, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 200, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 200, 2, 64)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, block_q=128, block_kv=128) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v)[0] ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+            assert_close(gf, gr, err_msg=f"d{name} mismatch")
