@@ -1,0 +1,240 @@
+"""Command-line interface: benchmark / calibrate / device-info.
+
+The rebirth of the reference CLI (reference cli.py:20-419) with the same
+subcommand surface and default grids, real meaning attached:
+
+* ``benchmark`` — sweep batch x seq over the hybrid engine with warmup,
+  per-config latency stats + tokens/s + kernel used, optional JSON dump
+  (reference cli.py:20-145; same default grid seq {128..4096} x batch
+  {1,2,4,8}, d=768, h=12, 10 iters, cli.py:24-35).
+* ``calibrate`` — random patterns through the quantized kernels, error vs
+  the fp32 oracle, accuracy = 1 - mean relative error, save/load JSON
+  (reference cli.py:148-303 — its "optical calibration" measured exactly
+  this for the simulated modulator; here the numbers are real FP8/INT8
+  error budgets).
+* ``device-info`` — TPU device/memory report, human or JSON
+  (reference cli.py:306-363).
+
+Console scripts: ``pfa-benchmark``, ``pfa-calibrate`` (pyproject).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import get_config
+from .utils.logging import get_logger, setup_logging
+
+logger = get_logger("cli")
+
+
+def _timed_calls(fn, args, iters: int) -> List[float]:
+    """Per-call latencies with a host fetch forcing completion."""
+    out = fn(*args)
+    float(jnp.sum(out))  # warmup compile + fetch path
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jnp.sum(out))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    return lat
+
+
+def benchmark(args: argparse.Namespace) -> int:
+    """Sweep the engine over the benchmark grid (reference cli.py:20-145)."""
+    from .core.engine import AttentionEngine
+    from .core.router import AdaptiveRouter
+
+    seqs = args.seq_lengths or [128, 256, 512, 1024, 2048, 4096]
+    batches = args.batch_sizes or [1, 2, 4, 8]
+    d_model, heads = args.embed_dim, args.num_heads
+    head_dim = d_model // heads
+    rng = np.random.default_rng(0)
+    eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+
+    results: List[Dict[str, Any]] = []
+    for seq in seqs:
+        for batch in batches:
+            shape = (batch, seq, heads, head_dim)
+            q = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+            k = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+            v = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+            # Warmup: let the engine measure every eligible kernel
+            # (reference does 3 warmup calls, cli.py:67-68).
+            for _ in range(args.warmup):
+                eng(q, k, v, causal=args.causal)
+            lat = []
+            for _ in range(args.iterations):
+                t0 = time.perf_counter()
+                eng(q, k, v, causal=args.causal)
+                lat.append((time.perf_counter() - t0) * 1e3)
+            mean = statistics.mean(lat)
+            row = {
+                "batch_size": batch,
+                "seq_length": seq,
+                "latency_ms": {
+                    "mean": round(mean, 3),
+                    "std": round(statistics.pstdev(lat), 3),
+                    "min": round(min(lat), 3),
+                    "max": round(max(lat), 3),
+                },
+                "tokens_per_second": round(batch * seq / (mean / 1e3), 1),
+                "kernel_used": eng.last_kernel_used,
+                "energy_mj": round(eng.last_energy_mj, 3),
+            }
+            results.append(row)
+            print(
+                f"b={batch:<3d} s={seq:<5d} {mean:8.3f} ms  "
+                f"{row['tokens_per_second']:>12,.0f} tok/s  [{eng.last_kernel_used}]"
+            )
+
+    payload = {
+        "benchmark": "attention_engine",
+        "config": {
+            "embed_dim": d_model,
+            "num_heads": heads,
+            "causal": args.causal,
+            "iterations": args.iterations,
+            "backend": jax.default_backend(),
+        },
+        "engine_stats": eng.get_performance_stats(),
+        "results": results,
+    }
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.output}")
+    return 0
+
+
+def calibrate(args: argparse.Namespace) -> int:
+    """Quantization error sweep (reference cli.py:148-303)."""
+    from .ops.flash_fp8 import flash_attention_quant
+    from .ops.quantization import quantization_error, quantize
+    from .ops.reference import attention_reference
+
+    rng = np.random.default_rng(args.seed)
+    report: Dict[str, Any] = {"modes": {}, "patterns": args.patterns}
+
+    for mode, qdtype in (("fp8", jnp.float8_e4m3fn), ("int8", jnp.int8)):
+        tensor_errs, attn_errs = [], []
+        for i in range(args.patterns):
+            scale = 10.0 ** rng.uniform(-1, 1)
+            x = jnp.asarray(rng.standard_normal((4, 256, 64)) * scale, jnp.float32)
+            qt = quantize(x, qdtype, axis=1, block_size=128)
+            tensor_errs.append(quantization_error(x, qt)["mean_rel_err"])
+
+            q = jnp.asarray(rng.standard_normal((1, 256, 4, 64)), jnp.float32)
+            k = jnp.asarray(rng.standard_normal((1, 256, 4, 64)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((1, 256, 4, 64)) * scale, jnp.float32)
+            ref, _ = attention_reference(q, k, v)
+            out = flash_attention_quant(q, k, v, qdtype=mode, block_q=128, block_kv=128)
+            num = float(jnp.linalg.norm((out - ref).astype(jnp.float32)))
+            den = float(jnp.linalg.norm(ref.astype(jnp.float32)))
+            attn_errs.append(num / max(den, 1e-9))
+        report["modes"][mode] = {
+            "tensor_mean_rel_err": float(np.mean(tensor_errs)),
+            "tensor_accuracy": float(1.0 - np.mean(tensor_errs)),
+            "attention_rel_err_mean": float(np.mean(attn_errs)),
+            "attention_rel_err_max": float(np.max(attn_errs)),
+            "passes_reference_gate": bool(np.max(attn_errs) < 0.1),
+        }
+        m = report["modes"][mode]
+        print(
+            f"{mode}: tensor acc {m['tensor_accuracy']:.4f}  "
+            f"attention rel-err mean {m['attention_rel_err_mean']:.4f} "
+            f"max {m['attention_rel_err_max']:.4f}  "
+            f"gate(<0.1): {'PASS' if m['passes_reference_gate'] else 'FAIL'}"
+        )
+
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.output}")
+    return 0 if all(m["passes_reference_gate"] for m in report["modes"].values()) else 1
+
+
+def device_info(args: argparse.Namespace) -> int:
+    """TPU device report (reference cli.py:306-363)."""
+    from .utils.monitoring import device_memory_stats
+
+    cfg = get_config()
+    devices = []
+    for dev in jax.devices():
+        info = {
+            "id": dev.id,
+            "platform": dev.platform,
+            "device_kind": getattr(dev, "device_kind", "unknown"),
+            "process_index": dev.process_index,
+            **{
+                k: v
+                for k, v in device_memory_stats(dev).items()
+                if k not in ("platform", "device")
+            },
+        }
+        devices.append(info)
+    payload = {
+        "backend": jax.default_backend(),
+        "device_count": jax.device_count(),
+        "process_count": jax.process_count(),
+        "devices": devices,
+        "config": cfg.to_dict(),
+    }
+    if args.json:
+        print(json.dumps(payload, indent=1, default=str))
+    else:
+        print(f"backend: {payload['backend']}  devices: {payload['device_count']}")
+        for d in devices:
+            mem = ""
+            if d.get("bytes_limit"):
+                mem = f"  hbm {d.get('bytes_in_use', 0)/1e9:.2f}/{d['bytes_limit']/1e9:.1f} GB"
+            print(f"  [{d['id']}] {d['device_kind']}{mem}")
+        print(f"router: flash_threshold={cfg.flash_threshold} quant={cfg.quant_mode}")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="pfa", description="TPU attention engine CLI"
+    )
+    parser.add_argument("--log-level", default=None)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("benchmark", help="latency/throughput sweep")
+    b.add_argument("--seq-lengths", type=int, nargs="+", default=None)
+    b.add_argument("--batch-sizes", type=int, nargs="+", default=None)
+    b.add_argument("--embed-dim", type=int, default=768)
+    b.add_argument("--num-heads", type=int, default=12)
+    b.add_argument("--iterations", type=int, default=10)
+    b.add_argument("--warmup", type=int, default=3)
+    b.add_argument("--causal", action="store_true")
+    b.add_argument("--output", "-o", default=None)
+    b.set_defaults(fn=benchmark)
+
+    c = sub.add_parser("calibrate", help="quantization error sweep")
+    c.add_argument("--patterns", type=int, default=8)
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--output", "-o", default=None)
+    c.set_defaults(fn=calibrate)
+
+    d = sub.add_parser("device-info", help="device / memory report")
+    d.add_argument("--json", action="store_true")
+    d.set_defaults(fn=device_info)
+
+    args = parser.parse_args(argv)
+    setup_logging(level=args.log_level)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,12 +124,18 @@ class Autotuner:
         best: Optional[TuneResult] = None
         for bq, bkv in candidates:
             try:
+                import jax.numpy as jnp
+
                 fn = run(bq, bkv)
-                fn()  # compile + warmup
+                out = fn()  # compile + warmup
+                float(jnp.sum(out))  # warm the fetch path
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     out = fn()
-                jax.block_until_ready(out)
+                # Host fetch forces true completion; block_until_ready alone
+                # is unreliable through remote-dispatch runtimes. The fetch
+                # overhead is identical across candidates, so ranking holds.
+                float(jnp.sum(out))
                 dt_ms = (time.perf_counter() - t0) / iters * 1e3
             except Exception as e:  # noqa: BLE001 - any compile/run failure skips
                 logger.debug("candidate (%d,%d) failed: %s", bq, bkv, e)

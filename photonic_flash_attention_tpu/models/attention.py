@@ -1,0 +1,224 @@
+"""Drop-in attention modules (Flax).
+
+The rebirth of the reference's public integration surface
+(reference integration/pytorch/modules.py):
+
+* ``PhotonicFlashAttention`` (modules.py:12-232) — a drop-in attention
+  layer owning QKV/out projections, routing each call across kernel
+  variants, exposing ``last_kernel_used`` / latency / energy stats.
+* ``PhotonicMultiHeadAttention`` (modules.py:235-336) — a
+  ``torch.nn.MultiheadAttention``-compatible facade: (B, S, E) tensors,
+  ``key_padding_mask`` merging, optional head-averaged weights.
+
+JAX split of responsibilities: under ``jit`` every shape is static, so
+in-trace calls use *static* threshold dispatch (``dispatch_attention``);
+eager calls route through the adaptive ``AttentionEngine`` singleton which
+measures real latencies and feeds the router — the same
+adaptive-when-live, fixed-when-captured behavior the reference shows
+(its router also only learns from live eager calls).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import get_config
+from ..core.engine import get_engine
+from ..ops.flash import flash_attention
+from ..ops.fused import fused_attention
+
+
+def _is_tracing(x: jax.Array) -> bool:
+    return isinstance(x, jax.core.Tracer)
+
+
+def dispatch_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    need_weights: bool = False,
+    sm_scale: Optional[float] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Static threshold dispatch — jit-safe kernel choice.
+
+    Mirrors the reference's `_should_use_photonic` threshold rule
+    (modules.py:118-143): below ``flash_threshold`` (or when weights or an
+    arbitrary mask are required) use the fused O(S^2) path, else the
+    Pallas flash kernel. Shapes are static under jit so this resolves at
+    trace time.
+    """
+    cfg = get_config()
+    seq = max(q.shape[1], k.shape[1])
+    if need_weights or mask is not None or seq < cfg.flash_threshold:
+        return fused_attention(
+            q, k, v, mask, causal=causal, sm_scale=sm_scale, need_weights=need_weights
+        )
+    return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale), None
+
+
+class PhotonicFlashAttention(nn.Module):
+    """Drop-in attention layer (reference modules.py:12-232).
+
+    Shapes: (batch, seq, embed_dim) in/out. Self-attention when only
+    ``query`` is given; cross-attention with separate key/value
+    (reference flash_attention_3.py:86-94's self/cross split).
+
+    Attributes:
+      embed_dim / num_heads / num_kv_heads: projection geometry (GQA when
+        num_kv_heads < num_heads).
+      causal: apply causal masking.
+      dropout_rate: attention-output dropout (train mode only).
+      use_bias: bias on projections.
+      adaptive: eager calls route through the measured AttentionEngine;
+        in-trace calls always use static dispatch.
+    """
+
+    embed_dim: int
+    num_heads: int
+    num_kv_heads: Optional[int] = None
+    causal: bool = False
+    dropout_rate: float = 0.0
+    use_bias: bool = True
+    adaptive: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        if self.embed_dim % self.num_heads:
+            raise ValueError(
+                f"embed_dim {self.embed_dim} not divisible by num_heads {self.num_heads}"
+            )
+        kvh = self.num_kv_heads or self.num_heads
+        head_dim = self.embed_dim // self.num_heads
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        self.q_proj = dense(self.num_heads * head_dim, "q_proj")
+        self.k_proj = dense(kvh * head_dim, "k_proj")
+        self.v_proj = dense(kvh * head_dim, "v_proj")
+        self.out_proj = dense(self.embed_dim, "out_proj")
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(
+        self,
+        query: jax.Array,
+        key: Optional[jax.Array] = None,
+        value: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        *,
+        need_weights: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        key = query if key is None else key
+        value = key if value is None else value
+
+        b, sq, _ = query.shape
+        skv = key.shape[1]
+        kvh = self.num_kv_heads or self.num_heads
+        head_dim = self.embed_dim // self.num_heads
+
+        q = self.q_proj(query).reshape(b, sq, self.num_heads, head_dim)
+        k = self.k_proj(key).reshape(b, skv, kvh, head_dim)
+        v = self.v_proj(value).reshape(b, skv, kvh, head_dim)
+
+        if self.adaptive and not _is_tracing(q):
+            out, weights = get_engine()(
+                q, k, v, mask, causal=self.causal, need_weights=need_weights
+            )
+        else:
+            out, weights = dispatch_attention(
+                q, k, v, mask, causal=self.causal, need_weights=need_weights
+            )
+
+        out = out.reshape(b, sq, self.num_heads * head_dim)
+        out = self.out_proj(out)
+        out = self.dropout(out, deterministic=deterministic)
+        return out, weights
+
+    @staticmethod
+    def get_performance_stats() -> dict:
+        """Engine stats surface (reference modules.py:189-218)."""
+        return get_engine().get_performance_stats()
+
+
+class PhotonicMultiHeadAttention(nn.Module):
+    """``nn.MultiheadAttention``-compatible facade (modules.py:235-336).
+
+    Accepts (B, S, E) with ``batch_first=True`` semantics (the JAX-native
+    layout; the reference's transpose shims are torch-specific),
+    ``key_padding_mask`` (True = ignore position), optional
+    ``attn_mask``, and returns head-averaged weights when
+    ``need_weights=True`` with ``average_attn_weights``.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    use_bias: bool = True
+    causal: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.inner = PhotonicFlashAttention(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            causal=self.causal,
+            dropout_rate=self.dropout_rate,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attention",
+        )
+
+    def __call__(
+        self,
+        query: jax.Array,
+        key: Optional[jax.Array] = None,
+        value: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+        *,
+        need_weights: bool = True,
+        average_attn_weights: bool = True,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        key = query if key is None else key
+        b, sq, _ = query.shape
+        skv = key.shape[1]
+
+        mask = None
+        if attn_mask is not None:
+            mask = attn_mask.astype(bool)
+            if mask.ndim == 2:
+                mask = mask[None, None]
+            elif mask.ndim == 3:
+                mask = mask[:, None]
+        if key_padding_mask is not None:
+            # True = padded (ignore), torch convention (modules.py:287-299).
+            keep = jnp.logical_not(key_padding_mask)[:, None, None, :]
+            keep = jnp.broadcast_to(keep, (b, 1, sq, skv))
+            mask = keep if mask is None else jnp.logical_and(mask, keep)
+
+        out, weights = self.inner(
+            query,
+            key,
+            value,
+            mask,
+            need_weights=need_weights,
+            deterministic=deterministic,
+        )
+        if weights is not None and average_attn_weights:
+            weights = jnp.mean(weights, axis=1)  # head-average (modules.py:318)
+        return out, weights

@@ -378,3 +378,44 @@ def flash_attention(
     vt = v.transpose(0, 2, 1, 3)
     o = _flash_attention_core(qt, kt, vt, scale, causal, bq, bkv, interp)
     return o.transpose(0, 2, 1, 3)
+
+
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Flash attention also returning the per-row logsumexp.
+
+    Returns (output (B, Sq, Hq, D), lse (B, Hq, Sq) fp32). The lse makes
+    partial attention results mergeable across KV shards — the primitive
+    ring attention is built from (fully-masked rows have lse = -inf and a
+    zero output row, so they drop out of the merge). Forward-only.
+    """
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if hq != hkv:
+        group = hq // hkv
+        k = jnp.repeat(k, group, axis=2)
+        v = jnp.repeat(v, group, axis=2)
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    bq = block_q or _choose_block(sq, 512)
+    bkv = block_kv or _choose_block(skv, 512)
+    interp = resolve_interpret(interpret)
+    o, lse = _flash_core_fwd_impl(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        scale,
+        causal,
+        bq,
+        bkv,
+        interp,
+    )
+    return o.transpose(0, 2, 1, 3), lse

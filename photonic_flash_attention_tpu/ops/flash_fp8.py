@@ -1,0 +1,266 @@
+"""Quantized (FP8 / INT8) flash attention — the "photonic" path made real.
+
+The reference's alternate kernel path runs attention through a *simulated*
+analog backend: 6-bit quantization at the modulator, matmul in the analog
+domain, rescale at the photodetector (reference
+photonic/optical_kernels/matrix_mult.py:161-276, used by
+core/photonic_attention.py:307-383). This kernel is the TPU-native
+realization of exactly that compute structure, with real datatypes the
+MXU executes natively:
+
+* Q, K quantized per 128-row block (per-token-block scales, the analogue
+  of the reference's per-call ``encode_to_optical`` normalization),
+* scores = dot(q8, k8) dequantized by the rank-1 outer product of row/col
+  scales — fused into the fp32 score tile on the VPU,
+* P (attention probabilities, in [0,1]) re-quantized for the P·V matmul
+  with a fixed scale; V uses per-feature-column scales which commute with
+  the contraction, so dequant is a (1, D) vector multiply on the fp32
+  accumulator.
+
+Quantization error budget: the reference gates quantized-vs-baseline at
+relative error < 0.1 (reference tests/performance/test_benchmarks.py:280);
+per-block FP8/INT8 lands well inside it (~1-2% norm error).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_utils import NUM_LANES, resolve_interpret, round_up
+from .reference import DEFAULT_MASK_VALUE
+
+_SCALE_BLOCK = 128  # row-block size for Q/K scales
+
+_QPARAMS = {
+    "fp8": (jnp.float8_e4m3fn, 448.0, jnp.float32),
+    "int8": (jnp.int8, 127.0, jnp.float32),
+}
+
+
+def _row_block_quantize(x: jax.Array, qdtype, qmax: float):
+    """Per-(B, H, 128-row-block) symmetric quantization.
+
+    x: (B, H, S, D) fp32/bf16 -> payload (B, H, S, D) qdtype,
+    scales (B, H, S) fp32 (repeated within each 128-row block).
+    """
+    b, h, s, d = x.shape
+    nblk = s // _SCALE_BLOCK
+    xb = x.astype(jnp.float32).reshape(b, h, nblk, _SCALE_BLOCK, d)
+    absmax = jnp.max(jnp.abs(xb), axis=(3, 4), keepdims=True)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
+    scaled = xb / scale
+    if qdtype == jnp.int8:
+        payload = jnp.clip(jnp.round(scaled), -qmax, qmax).astype(jnp.int8)
+    else:
+        payload = jnp.clip(scaled, -qmax, qmax).astype(qdtype)
+    payload = payload.reshape(b, h, s, d)
+    scales = jnp.broadcast_to(scale[..., 0], (b, h, nblk, _SCALE_BLOCK))
+    return payload, scales.reshape(b, h, s)
+
+
+def _col_quantize(x: jax.Array, qdtype, qmax: float):
+    """Per-(B, H, feature-column) quantization for V (commutes with the
+    seq contraction in P·V)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
+    scaled = x.astype(jnp.float32) / scale
+    if qdtype == jnp.int8:
+        payload = jnp.clip(jnp.round(scaled), -qmax, qmax).astype(jnp.int8)
+    else:
+        payload = jnp.clip(scaled, -qmax, qmax).astype(qdtype)
+    return payload, scale[:, :, 0, :]  # (B, H, D)
+
+
+def _flash_quant_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    qs_ref,
+    ks_ref,
+    vs_ref,
+    o_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    causal: bool,
+    kv_true_len: int,
+    q_true_len: int,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+    qdtype_name: str,
+):
+    qdtype, qmax, _ = _QPARAMS[qdtype_name]
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    kv_off = kv_true_len - q_true_len
+    if causal:
+        should_run = ki * block_kv <= (qi + 1) * block_q - 1 + kv_off
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q8 = q_ref[0, 0]  # [block_q, d] quantized
+        k8 = k_ref[0, 0]  # [block_kv, d] quantized
+        acc_t = jnp.int32 if qdtype == jnp.int8 else jnp.float32
+        s_raw = jax.lax.dot_general(
+            q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=acc_t
+        ).astype(jnp.float32)
+        # Dequant: rank-1 outer product of row scales x col scales (the
+        # photodetector rescale, made exact).
+        qs = qs_ref[0, 0].reshape(block_q, 1)
+        ks = ks_ref[0, 0].reshape(1, block_kv)
+        s = s_raw * (qs * sm_scale) * ks
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + ki * block_kv
+        valid = col < kv_true_len
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                + qi * block_q
+                + kv_off
+            )
+            valid = jnp.logical_and(valid, col <= row)
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+        # Re-quantize P (in [0,1]) for the P.V matmul.
+        if qdtype == jnp.int8:
+            p8 = jnp.round(p * qmax).astype(jnp.int8)
+        else:
+            p8 = (p * qmax).astype(qdtype)
+        v8 = v_ref[0, 0]  # [block_kv, d] quantized
+        pv_raw = jax.lax.dot_general(
+            p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=acc_t
+        ).astype(jnp.float32)
+        vs = vs_ref[0, 0].reshape(1, -1)  # (1, d) per-column V scales
+        pv = pv_raw * (vs / qmax)
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l_fin = l_scratch[:, :1]
+        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        o_ref[0, 0] = (acc_scratch[:] * l_inv).astype(o_ref.dtype)
+
+
+def flash_attention_quant(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    qdtype: str = "fp8",
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Quantized flash attention (inference only — no VJP).
+
+    Args follow :func:`photonic_flash_attention_tpu.ops.flash.flash_attention`;
+    ``qdtype`` is "fp8" (e4m3) or "int8".
+    """
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if hq != hkv:
+        group = hq // hkv
+        k = jnp.repeat(k, group, axis=2)
+        v = jnp.repeat(v, group, axis=2)
+
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    interp = resolve_interpret(interpret)
+    qt_dtype, qmax, _ = _QPARAMS[qdtype]
+
+    qt = q.transpose(0, 2, 1, 3)  # B H S D
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    sq_p = round_up(sq, block_q)
+    skv_p = round_up(skv, block_kv)
+    d_p = round_up(d, NUM_LANES)
+    qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
+
+    q8, qs = _row_block_quantize(qt, qt_dtype, qmax)
+    k8, ks = _row_block_quantize(kt, qt_dtype, qmax)
+    v8, vs = _col_quantize(vt, qt_dtype, qmax)
+
+    num_q_blocks = sq_p // block_q
+    num_kv_blocks = skv_p // block_kv
+    grid = (b, hq, num_q_blocks, num_kv_blocks)
+
+    kernel = functools.partial(
+        _flash_quant_kernel,
+        sm_scale=scale,
+        causal=causal,
+        kv_true_len=skv,
+        q_true_len=sq,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+        qdtype_name=qdtype,
+    )
+
+    o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d_p), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, 1, block_kv, d_p), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+            pl.BlockSpec((1, 1, block_kv, d_p), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b_, h_, qi, ki: (b_, h_, qi)),
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h_, qi, ki: (b_, h_, ki)),
+            pl.BlockSpec((1, 1, d_p), lambda b_, h_, qi, ki: (b_, h_, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d_p), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(q8, k8, v8, qs, ks, vs)
+    return o[:, :, :sq, :d].transpose(0, 2, 1, 3)
+
+
+def flash_attention_fp8(q, k, v, **kwargs):
+    """FP8 (e4m3) flash attention."""
+    return flash_attention_quant(q, k, v, qdtype="fp8", **kwargs)
+
+
+def flash_attention_int8(q, k, v, **kwargs):
+    """INT8 flash attention."""
+    return flash_attention_quant(q, k, v, qdtype="int8", **kwargs)

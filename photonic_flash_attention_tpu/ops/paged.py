@@ -1,0 +1,314 @@
+"""Paged-attention decode kernels over the HBM KV page pool.
+
+The decode-side consumer of :mod:`..core.kv_cache` — the rebirth of the
+reference's memory-manager + attention pairing for inference (reference
+core/memory_manager.py pool + core/flash_attention_3.py kernel), in the
+shape TPU serving actually needs: one query token per sequence attending
+over a *paged, possibly INT8-quantized* KV cache.
+
+Two implementations:
+
+* ``paged_attention_xla`` — gather-based XLA fallback (oracle + CPU path).
+* ``paged_attention`` — Pallas kernel: pages stay in HBM; each grid step
+  async-DMAs one block of pages into VMEM with double buffering (next
+  block's DMA overlaps current block's compute), online softmax across
+  blocks, per-token INT8 dequant fused after the gather. The page list is
+  scalar-prefetched so DMA addresses are known before the kernel body
+  (cf. the JAX paged-attention design it parallels).
+
+Shapes:
+  q:            (B, Hq, D)           one token per sequence
+  k_pages:      (Hkv, P, page, D)
+  v_pages:      (Hkv, P, page, D)
+  lengths:      (B,) int32           tokens valid per sequence
+  page_indices: (B, pages_per_seq) int32
+  k_scales/v_scales: (Hkv, P, page) fp32 when payload is int8
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_utils import resolve_interpret
+from .reference import DEFAULT_MASK_VALUE
+
+
+def paged_attention_xla(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    k_scales: Optional[jax.Array] = None,
+    v_scales: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Gather-based paged attention (XLA). Returns (B, Hq, D)."""
+    b, hq, d = q.shape
+    hkv, _, page, _ = k_pages.shape
+    group = hq // hkv
+    pages_per_seq = page_indices.shape[1]
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+
+    # Gather pages: (B, Hkv, pages_per_seq, page, D) -> (B, Hkv, S, D)
+    def gather(pages, scales):
+        g = pages[:, page_indices]  # (Hkv, B, pages_per_seq, page, D)
+        g = g.transpose(1, 0, 2, 3, 4).reshape(b, hkv, pages_per_seq * page, d)
+        g = g.astype(jnp.float32)
+        if scales is not None:
+            sc = scales[:, page_indices].transpose(1, 0, 2, 3)
+            g = g * sc.reshape(b, hkv, pages_per_seq * page, 1)
+        return g
+
+    k = gather(k_pages, k_scales)
+    v = gather(v_pages, v_scales)
+
+    qf = q.astype(jnp.float32).reshape(b, hkv, group, d) * scale
+    s = jnp.einsum("bhgd,bhsd->bhgs", qf, k)
+    pos = jnp.arange(pages_per_seq * page, dtype=jnp.int32)
+    valid = pos[None] < lengths[:, None]  # (B, S)
+    s = jnp.where(valid[:, None, None], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgs,bhsd->bhgd", p, v)
+    return o.reshape(b, hq, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _paged_kernel(
+    # scalar prefetch
+    lengths_ref,  # (B,) SMEM
+    page_indices_ref,  # (B * pages_per_seq,) SMEM (flattened)
+    # inputs
+    q_ref,  # (1, 1, G_pad, D) VMEM
+    k_pages_hbm,  # (Hkv, P, page, D) ANY/HBM
+    v_pages_hbm,
+    k_scales_hbm,  # (Hkv, P, page) or None
+    v_scales_hbm,
+    # output
+    o_ref,  # (1, 1, G_pad, D) VMEM
+    # scratch
+    m_scratch,  # (G_pad, 128)
+    l_scratch,
+    acc_scratch,  # (G_pad, D)
+    k_buf,  # (2, pages_per_block, page, D)
+    v_buf,
+    ks_buf,  # (2, pages_per_block, page) or dummy
+    vs_buf,
+    sems,  # DMA sems (2, 2, 2): [slot][k/v][payload/scale]
+    *,
+    sm_scale: float,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    quantized: bool,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    blk = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+    length = lengths_ref[b]
+    block_tokens = pages_per_block * page_size
+
+    def start_dma(block_idx, slot):
+        """Start DMAs for every page of one block."""
+        for i in range(pages_per_block):
+            flat = b * pages_per_seq + block_idx * pages_per_block + i
+            page_id = page_indices_ref[flat]
+            pltpu.make_async_copy(
+                k_pages_hbm.at[h, page_id], k_buf.at[slot, i], sems.at[slot, 0, 0]
+            ).start()
+            pltpu.make_async_copy(
+                v_pages_hbm.at[h, page_id], v_buf.at[slot, i], sems.at[slot, 1, 0]
+            ).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    k_scales_hbm.at[h, page_id], ks_buf.at[slot, i], sems.at[slot, 0, 1]
+                ).start()
+                pltpu.make_async_copy(
+                    v_scales_hbm.at[h, page_id], vs_buf.at[slot, i], sems.at[slot, 1, 1]
+                ).start()
+
+    def wait_dma(slot, which):
+        pltpu.make_async_copy(
+            k_pages_hbm.at[h, 0], k_buf.at[slot, 0], sems.at[slot, which, 0]
+        )  # shape-only handle
+        # Wait for all page copies on this slot/stream.
+        for _ in range(pages_per_block):
+            if which == 0:
+                pltpu.make_async_copy(
+                    k_pages_hbm.at[h, 0], k_buf.at[slot, 0], sems.at[slot, 0, 0]
+                ).wait()
+            else:
+                pltpu.make_async_copy(
+                    v_pages_hbm.at[h, 0], v_buf.at[slot, 0], sems.at[slot, 1, 0]
+                ).wait()
+        if quantized:
+            for _ in range(pages_per_block):
+                if which == 0:
+                    pltpu.make_async_copy(
+                        k_scales_hbm.at[h, 0], ks_buf.at[slot, 0], sems.at[slot, 0, 1]
+                    ).wait()
+                else:
+                    pltpu.make_async_copy(
+                        v_scales_hbm.at[h, 0], vs_buf.at[slot, 0], sems.at[slot, 1, 1]
+                    ).wait()
+
+    slot = jax.lax.rem(blk, 2)
+    next_slot = jax.lax.rem(blk + 1, 2)
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+        start_dma(0, 0)
+
+    active = blk * block_tokens < length
+
+    @pl.when(active)
+    def _run():
+        # Prefetch next block while we compute on this one.
+        @pl.when(jnp.logical_and(blk + 1 < num_blocks, (blk + 1) * block_tokens < length))
+        def _prefetch():
+            start_dma(blk + 1, next_slot)
+
+        wait_dma(slot, 0)  # K ready
+        g_pad, d = q_ref.shape[2], q_ref.shape[3]
+        q = q_ref[0, 0].astype(jnp.float32)  # (G_pad, D)
+        k = k_buf[slot].reshape(block_tokens, d).astype(jnp.float32)
+        if quantized:
+            k = k * ks_buf[slot].reshape(block_tokens, 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # (G_pad, block_tokens)
+
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (g_pad, block_tokens), 1)
+            + blk * block_tokens
+        )
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+        wait_dma(slot, 1)  # V ready
+        v = v_buf[slot].reshape(block_tokens, d).astype(jnp.float32)
+        if quantized:
+            v = v * vs_buf[slot].reshape(block_tokens, 1)
+        pv = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+
+    @pl.when(blk == num_blocks - 1)
+    def _store():
+        l_fin = l_scratch[:, :1]
+        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        o_ref[0, 0] = (acc_scratch[:] * l_inv).astype(o_ref.dtype)
+
+
+def paged_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    k_scales: Optional[jax.Array] = None,
+    v_scales: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    pages_per_block: int = 4,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Pallas paged-attention decode. Returns (B, Hq, D) in q.dtype."""
+    b, hq, d = q.shape
+    hkv, num_pages, page_size, _ = k_pages.shape
+    group = hq // hkv
+    pages_per_seq = page_indices.shape[1]
+    if pages_per_seq % pages_per_block:
+        pad = pages_per_block - pages_per_seq % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+        pages_per_seq += pad
+    num_blocks = pages_per_seq // pages_per_block
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    interp = resolve_interpret(interpret)
+    quantized = k_scales is not None
+
+    # Pad the per-kv-head query group to the fp32 sublane minimum (8).
+    g_pad = max(8, group)
+    qg = q.reshape(b, hkv, group, d)
+    if g_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    kernel = functools.partial(
+        _paged_kernel,
+        sm_scale=scale,
+        pages_per_block=pages_per_block,
+        pages_per_seq=pages_per_seq,
+        page_size=page_size,
+        quantized=quantized,
+    )
+
+    sdtype = jnp.float32
+    dummy_scales = jnp.zeros((1, 1, 1), sdtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, num_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k_pages
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v_pages
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k_scales
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v_scales
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, d), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size), sdtype),
+            pltpu.VMEM((2, pages_per_block, page_size), sdtype),
+            pltpu.SemaphoreType.DMA((2, 2, 2)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(
+        lengths,
+        page_indices.reshape(-1),
+        qg,
+        k_pages,
+        v_pages,
+        k_scales if quantized else dummy_scales,
+        v_scales if quantized else dummy_scales,
+    )
+    return out[:, :, :group].reshape(b, hq, d)

@@ -1,0 +1,191 @@
+"""Engine integration: routing, fallback, stats, module API.
+
+Mirrors the reference's integration strategy (reference
+tests/test_photonic_attention.py + unit/test_flash_attention_3.py module
+tests): smoke each subsystem through the public surface.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photonic_flash_attention_tpu.config import set_global_config
+from photonic_flash_attention_tpu.core.engine import (
+    AttentionEngine,
+    get_engine,
+    reset_engine,
+)
+from photonic_flash_attention_tpu.core.router import AdaptiveRouter
+from photonic_flash_attention_tpu.ops.reference import attention_reference
+
+from ..conftest import assert_close
+
+
+@pytest.fixture(autouse=True)
+def _fresh_engine():
+    reset_engine()
+    yield
+    reset_engine()
+
+
+def make_qkv(rng, b=2, s=256, h=4, d=64, dtype=jnp.float32):
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype)
+    return q, k, v
+
+
+class TestEngine:
+    def test_basic_call_matches_oracle(self, rng):
+        q, k, v = make_qkv(rng)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        out, _ = eng(q, k, v)
+        ref, _ = attention_reference(q, k, v)
+        assert_close(out, ref)
+
+    def test_causal_matches_oracle(self, rng):
+        q, k, v = make_qkv(rng)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        out, _ = eng(q, k, v, causal=True)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref)
+
+    def test_need_weights_routes_to_fused(self, rng):
+        q, k, v = make_qkv(rng, s=1024)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        out, w = eng(q, k, v, need_weights=True)
+        assert eng.last_kernel_used == "fused"
+        assert w is not None
+        np.testing.assert_allclose(np.asarray(jnp.sum(w, -1)), 1.0, atol=1e-3)
+
+    def test_mask_routes_to_fused_and_masks(self, rng):
+        q, k, v = make_qkv(rng, s=128)
+        mask = jnp.asarray(rng.random((1, 1, 128, 128)) > 0.1)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        out, _ = eng(q, k, v, mask)
+        ref, _ = attention_reference(q, k, v, mask)
+        assert_close(out, ref)
+        assert eng.last_kernel_used == "fused"
+
+    def test_warmup_measures_both_kernels(self, rng):
+        q, k, v = make_qkv(rng, s=1024)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        used = set()
+        for _ in range(4):
+            eng(q, k, v)
+            used.add(eng.last_kernel_used)
+        assert used == {"fused", "flash"}
+
+    def test_stats_surface(self, rng):
+        q, k, v = make_qkv(rng)
+        eng = AttentionEngine(router=AdaptiveRouter(seed=0))
+        eng(q, k, v)
+        s = eng.get_performance_stats()
+        assert s["total_calls"] == 1
+        assert s["last_kernel_used"] in ("fused", "flash")
+        assert s["last_latency_ms"] > 0
+        assert s["last_energy_mj"] > 0
+        assert "router" in s and "autotuner" in s
+
+    def test_static_dispatch_respects_threshold(self, rng):
+        set_global_config(auto_kernel_selection=False, flash_threshold=512)
+        q, k, v = make_qkv(rng, s=256)
+        eng = AttentionEngine(router=AdaptiveRouter(seed=0))
+        eng(q, k, v)
+        assert eng.last_kernel_used == "fused"
+        q, k, v = make_qkv(rng, s=512)
+        eng(q, k, v)
+        assert eng.last_kernel_used == "flash"
+
+    def test_singleton(self):
+        assert get_engine() is get_engine()
+
+
+class TestModules:
+    def test_drop_in_module_forward(self, rng):
+        from photonic_flash_attention_tpu.models.attention import (
+            PhotonicFlashAttention,
+        )
+
+        x = jnp.asarray(rng.standard_normal((2, 128, 256)), jnp.float32)
+        mod = PhotonicFlashAttention(
+            embed_dim=256, num_heads=8, dtype=jnp.float32, adaptive=False
+        )
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out, _ = mod.apply(params, x)
+        assert out.shape == x.shape
+
+    def test_module_self_vs_cross(self, rng):
+        from photonic_flash_attention_tpu.models.attention import (
+            PhotonicFlashAttention,
+        )
+
+        x = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+        y = jnp.asarray(rng.standard_normal((2, 96, 128)), jnp.float32)
+        mod = PhotonicFlashAttention(
+            embed_dim=128, num_heads=4, dtype=jnp.float32, adaptive=False
+        )
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out_self, _ = mod.apply(params, x)
+        out_cross, _ = mod.apply(params, x, y)
+        assert out_cross.shape == x.shape
+        assert not np.allclose(np.asarray(out_self), np.asarray(out_cross))
+
+    def test_module_jit(self, rng):
+        from photonic_flash_attention_tpu.models.attention import (
+            PhotonicFlashAttention,
+        )
+
+        x = jnp.asarray(rng.standard_normal((1, 128, 128)), jnp.float32)
+        mod = PhotonicFlashAttention(embed_dim=128, num_heads=4, dtype=jnp.float32)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out = jax.jit(lambda p, x: mod.apply(p, x)[0])(params, x)
+        assert out.shape == x.shape
+
+    def test_mha_facade_key_padding(self, rng):
+        from photonic_flash_attention_tpu.models.attention import (
+            PhotonicMultiHeadAttention,
+        )
+
+        x = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+        pad = jnp.zeros((2, 64), bool).at[:, 48:].set(True)
+        mod = PhotonicMultiHeadAttention(embed_dim=128, num_heads=4, dtype=jnp.float32)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out, w = mod.apply(params, x, key_padding_mask=pad, need_weights=True)
+        assert out.shape == x.shape
+        assert w.shape == (2, 64, 64)  # head-averaged
+        # padded keys receive ~zero attention
+        assert float(jnp.max(w[:, :, 48:])) < 1e-6
+
+    def test_gradients_flow(self, rng):
+        from photonic_flash_attention_tpu.models.attention import (
+            PhotonicFlashAttention,
+        )
+
+        x = jnp.asarray(rng.standard_normal((1, 640, 128)), jnp.float32)
+        mod = PhotonicFlashAttention(
+            embed_dim=128, num_heads=4, dtype=jnp.float32, causal=True
+        )
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.sum(mod.apply(p, x)[0] ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+class TestGPT2:
+    def test_tiny_forward(self, rng):
+        from photonic_flash_attention_tpu.models.gpt2 import GPT2Config, GPT2LMHead
+
+        cfg = GPT2Config.tiny()
+        model = GPT2LMHead(cfg)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 64)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        logits = jax.jit(lambda p, i: model.apply(p, i))(params, ids)
+        assert logits.shape == (2, 64, cfg.vocab_size)
+        assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))

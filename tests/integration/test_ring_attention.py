@@ -1,0 +1,91 @@
+"""Ring attention on an 8-virtual-device mesh vs the single-device oracle.
+
+This is the "distributed testing without a cluster" strategy (SURVEY.md
+§4): CPU backend + ``--xla_force_host_platform_device_count=8`` exercises
+real ppermute collectives and shard_map partitioning.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photonic_flash_attention_tpu.ops.reference import attention_reference
+from photonic_flash_attention_tpu.parallel.mesh import create_mesh
+from photonic_flash_attention_tpu.parallel.ring import (
+    make_ring_attention,
+    ring_attention,
+    softmax_merge,
+)
+
+from ..conftest import assert_close
+
+
+def make_qkv(rng, b=1, s=512, h=4, d=64):
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    return q, k, v
+
+
+class TestSoftmaxMerge:
+    def test_merge_two_halves_equals_full(self, rng):
+        from photonic_flash_attention_tpu.ops.flash import flash_attention_with_lse
+
+        q, k, v = make_qkv(rng, s=256)
+        o_full, _ = attention_reference(q, k, v)
+        o1, l1 = flash_attention_with_lse(q, k[:, :128], v[:, :128])
+        o2, l2 = flash_attention_with_lse(q, k[:, 128:], v[:, 128:])
+        o, _ = softmax_merge(o1, l1, o2, l2)
+        assert_close(o, o_full)
+
+    def test_merge_with_masked_partial(self, rng):
+        q, k, v = make_qkv(rng, s=128)
+        o1, _ = attention_reference(q, k, v)
+        from photonic_flash_attention_tpu.ops.flash import flash_attention_with_lse
+
+        oa, la = flash_attention_with_lse(q, k, v)
+        zero = jnp.zeros_like(oa)
+        neg = jnp.full(la.shape, -jnp.inf)
+        o, lse = softmax_merge(oa, la, zero, neg)
+        assert_close(o, o1)
+        o, lse = softmax_merge(zero, neg, oa, la)
+        assert_close(o, o1)
+
+
+@pytest.mark.parametrize("n_seq", [2, 4, 8])
+class TestRingSharded:
+    def test_full_attention(self, rng, n_seq):
+        q, k, v = make_qkv(rng, s=64 * n_seq)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(mesh, data_axis=None, model_axis=None)
+        out = fn(q, k, v)
+        ref, _ = attention_reference(q, k, v)
+        assert_close(out, ref)
+
+    def test_causal(self, rng, n_seq):
+        q, k, v = make_qkv(rng, s=64 * n_seq)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(mesh, data_axis=None, model_axis=None, causal=True)
+        out = fn(q, k, v)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref)
+
+
+class TestRing2D:
+    def test_heads_by_seq_mesh(self, rng):
+        """2D head x context parallelism (guide §16 pattern)."""
+        q, k, v = make_qkv(rng, s=256, h=4)
+        mesh = create_mesh((2, 4), ("model", "seq"), jax.devices()[:8])
+        fn = make_ring_attention(mesh, data_axis=None, causal=True)
+        out = fn(q, k, v)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref)
+
+    def test_data_by_seq_mesh(self, rng):
+        q, k, v = make_qkv(rng, b=2, s=256, h=4)
+        mesh = create_mesh((2, 4), ("data", "seq"), jax.devices()[:8])
+        fn = make_ring_attention(mesh, model_axis=None, causal=True)
+        out = fn(q, k, v)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref)

@@ -1,0 +1,68 @@
+"""Quantized flash kernel vs fp32 oracle — the reference's <0.1 rel-err gate
+(reference tests/performance/test_benchmarks.py:280), which FP8/INT8 with
+per-block scales beats by a wide margin."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photonic_flash_attention_tpu.ops.flash_fp8 import flash_attention_quant
+from photonic_flash_attention_tpu.ops.reference import attention_reference
+
+from ..conftest import rel_err_norm
+
+
+@pytest.mark.parametrize("qdtype", ["fp8", "int8"])
+class TestQuantFlash:
+    def test_matches_oracle(self, rng, qdtype):
+        q = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention_quant(
+            q, k, v, qdtype=qdtype, block_q=128, block_kv=128
+        )
+        err = rel_err_norm(out, ref)
+        assert err < 0.1, f"{qdtype} rel err {err}"  # the reference gate
+        # Stricter internal bar: int8 P has 7 bits, fp8-e4m3 only 3.
+        assert err < (0.03 if qdtype == "int8" else 0.06)
+
+    def test_causal(self, rng, qdtype):
+        q = jnp.asarray(rng.standard_normal((1, 256, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 256, 4, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 256, 4, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        out = flash_attention_quant(
+            q, k, v, qdtype=qdtype, causal=True, block_q=128, block_kv=128
+        )
+        assert rel_err_norm(out, ref) < (0.03 if qdtype == "int8" else 0.06)
+
+    def test_unaligned(self, rng, qdtype):
+        q = jnp.asarray(rng.standard_normal((1, 200, 2, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 333, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 333, 2, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention_quant(
+            q, k, v, qdtype=qdtype, block_q=128, block_kv=128
+        )
+        assert rel_err_norm(out, ref) < (0.03 if qdtype == "int8" else 0.06)
+
+    def test_outlier_tokens(self, rng, qdtype):
+        """Per-row-block scales localize outlier damage (the quantized
+        analogue of the reference's modulator saturation handling)."""
+        q = np.asarray(rng.standard_normal((1, 256, 2, 64)), np.float32)
+        k = np.asarray(rng.standard_normal((1, 256, 2, 64)), np.float32)
+        v = np.asarray(rng.standard_normal((1, 256, 2, 64)), np.float32)
+        v[0, 7] *= 50.0  # one hot token
+        q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention_quant(q, k, v, qdtype=qdtype, block_q=128, block_kv=128)
+        assert rel_err_norm(out, ref) < 0.06
+
+    def test_gqa(self, rng, qdtype):
+        q = jnp.asarray(rng.standard_normal((1, 128, 8, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention_quant(q, k, v, qdtype=qdtype, block_q=128, block_kv=128)
+        assert rel_err_norm(out, ref) < (0.03 if qdtype == "int8" else 0.06)
