@@ -1,0 +1,283 @@
+"""Continuous-batching serving engine over the paged KV pool.
+
+The rebirth of the reference's task scheduler (reference
+scaling/distributed_computing.py:65-802 ``DistributedWorkloadBalancer``):
+its priority task queue + background assignment loop + node scoring were
+thread-simulated; here the same scheduling surface (submit / step /
+status / perf summary) drives a *real* continuous-batching loop on TPU:
+
+* sequences join the running batch as soon as a slot and pages are free
+  (admission), leave on EOS/max-tokens (retirement), pages recycled,
+* one compiled ``decode_step`` serves a fixed-size slot batch every
+  iteration (inactive slots write to the reserved trash page and are
+  masked at read),
+* prefills run per-sequence, bucketed to power-of-two lengths to bound
+  compile count.
+
+The reference's ``submit_task``/``get_cluster_status``/``performance
+summary`` surfaces map to ``submit``/``status``/``get_performance_stats``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gpt2 import GPT2Config
+from ..models.gpt2_serving import KVPages, _pages_to_scan_tree, decode_step, prefill_step
+from ..utils.exceptions import KVCacheError
+from ..utils.logging import get_logger
+
+logger = get_logger("serving")
+
+_TRASH_PAGE = 0  # page 0 is never allocated; padded/inactive writes land here
+
+
+@dataclasses.dataclass
+class _Sequence:
+    seq_id: int
+    tokens: List[int]  # full token history (prompt + generated)
+    prompt_len: int
+    max_new_tokens: int
+    page_ids: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None  # decode batch slot
+    done: bool = False
+    submitted_at: float = dataclasses.field(default_factory=time.time)
+    finished_at: Optional[float] = None
+
+    @property
+    def length(self) -> int:
+        return len(self.tokens)
+
+    @property
+    def new_tokens(self) -> int:
+        return self.length - self.prompt_len
+
+
+class ServingEngine:
+    """Single-host continuous batching for GPT-2-family models."""
+
+    def __init__(
+        self,
+        cfg: GPT2Config,
+        params: Dict,
+        *,
+        num_pages: int = 512,
+        page_size: int = 16,
+        max_batch: int = 8,
+        max_pages_per_seq: int = 64,
+        kv_dtype=jnp.bfloat16,
+        eos_token_id: Optional[int] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.params = params
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.max_batch = max_batch
+        self.max_pages_per_seq = max_pages_per_seq
+        self.quantized = kv_dtype == jnp.int8
+        self.eos_token_id = eos_token_id
+
+        self.pages_tree = _pages_to_scan_tree(
+            KVPages.create(cfg, num_pages, page_size, kv_dtype)
+        )
+        self._free_pages = list(range(num_pages - 1, 0, -1))  # page 0 = trash
+        self._slots: List[Optional[int]] = [None] * max_batch  # slot -> seq_id
+        self._sequences: Dict[int, _Sequence] = {}
+        self._waiting: List[int] = []
+        self._next_id = 0
+        # stats
+        self._prefill_tokens = 0
+        self._decode_tokens = 0
+        self._prefill_time = 0.0
+        self._decode_time = 0.0
+        self._steps = 0
+
+    # -- admission ---------------------------------------------------------
+
+    def submit(self, prompt_ids: Sequence[int], max_new_tokens: int = 16) -> int:
+        """Queue a request (reference submit_task :252)."""
+        if len(prompt_ids) + max_new_tokens > self.max_pages_per_seq * self.page_size:
+            raise KVCacheError("request exceeds max sequence capacity")
+        seq = _Sequence(
+            seq_id=self._next_id,
+            tokens=list(map(int, prompt_ids)),
+            prompt_len=len(prompt_ids),
+            max_new_tokens=max_new_tokens,
+        )
+        self._next_id += 1
+        self._sequences[seq.seq_id] = seq
+        self._waiting.append(seq.seq_id)
+        return seq.seq_id
+
+    def _pages_needed(self, tokens: int) -> int:
+        return -(-tokens // self.page_size)
+
+    def _try_admit(self) -> None:
+        """Move waiting sequences into free slots when pages suffice."""
+        for slot in range(self.max_batch):
+            if self._slots[slot] is not None or not self._waiting:
+                continue
+            sid = self._waiting[0]
+            seq = self._sequences[sid]
+            need = self._pages_needed(seq.prompt_len + seq.max_new_tokens)
+            if need > len(self._free_pages):
+                break  # FIFO head blocked; wait for pages
+            self._waiting.pop(0)
+            seq.page_ids = [self._free_pages.pop() for _ in range(need)]
+            seq.slot = slot
+            self._slots[slot] = sid
+            self._prefill(seq)
+
+    def _flat_slot(self, seq: _Sequence, token_idx: int) -> int:
+        page = seq.page_ids[token_idx // self.page_size]
+        return page * self.page_size + token_idx % self.page_size
+
+    # -- prefill -----------------------------------------------------------
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        return max(16, 1 << (n - 1).bit_length())
+
+    def _prefill(self, seq: _Sequence) -> None:
+        s_pad = self._bucket(seq.prompt_len)
+        ids = np.zeros((1, s_pad), np.int32)
+        ids[0, : seq.prompt_len] = seq.tokens[: seq.prompt_len]
+        slots = np.full((1, s_pad), _TRASH_PAGE * self.page_size, np.int32)
+        for i in range(seq.prompt_len):
+            slots[0, i] = self._flat_slot(seq, i)
+        t0 = time.perf_counter()
+        logits, self.pages_tree = prefill_step(
+            self.params,
+            self.cfg,
+            jnp.asarray(ids),
+            jnp.asarray([seq.prompt_len], jnp.int32),
+            self.pages_tree,
+            jnp.asarray(slots),
+            self.quantized,
+        )
+        next_token = int(jnp.argmax(logits[0]))
+        self._prefill_time += time.perf_counter() - t0
+        self._prefill_tokens += seq.prompt_len
+        self._append_token(seq, next_token)
+
+    def _append_token(self, seq: _Sequence, token: int) -> None:
+        seq.tokens.append(token)
+        if (
+            seq.new_tokens >= seq.max_new_tokens
+            or (self.eos_token_id is not None and token == self.eos_token_id)
+        ):
+            self._retire(seq)
+
+    def _retire(self, seq: _Sequence) -> None:
+        seq.done = True
+        seq.finished_at = time.time()
+        if seq.slot is not None:
+            self._slots[seq.slot] = None
+            seq.slot = None
+        self._free_pages.extend(seq.page_ids)
+        seq.page_ids = []
+
+    # -- decode ------------------------------------------------------------
+
+    def step(self) -> int:
+        """One scheduler iteration: admit, then decode every active slot.
+
+        Returns the number of active sequences decoded this step.
+        """
+        self._try_admit()
+        active = [sid for sid in self._slots if sid is not None]
+        if not active:
+            return 0
+
+        b = self.max_batch
+        ids = np.zeros((b,), np.int32)
+        pos = np.zeros((b,), np.int32)
+        slots = np.full((b,), _TRASH_PAGE * self.page_size, np.int32)
+        lengths = np.zeros((b,), np.int32)
+        tables = np.zeros((b, self.max_pages_per_seq), np.int32)
+        for slot in range(b):
+            sid = self._slots[slot]
+            if sid is None:
+                lengths[slot] = 0  # fully masked
+                continue
+            seq = self._sequences[sid]
+            # The model consumes the LAST token (already appended) and
+            # writes its K/V at position length-1.
+            idx = seq.length - 1
+            ids[slot] = seq.tokens[idx]
+            pos[slot] = idx
+            slots[slot] = self._flat_slot(seq, idx)
+            lengths[slot] = seq.length
+            tables[slot, : len(seq.page_ids)] = seq.page_ids
+
+        t0 = time.perf_counter()
+        logits, self.pages_tree = decode_step(
+            self.params,
+            self.cfg,
+            jnp.asarray(ids),
+            jnp.asarray(pos),
+            self.pages_tree,
+            jnp.asarray(slots),
+            jnp.asarray(lengths),
+            jnp.asarray(tables),
+            self.quantized,
+        )
+        next_tokens = np.asarray(jnp.argmax(logits, -1))
+        self._decode_time += time.perf_counter() - t0
+        self._decode_tokens += len(active)
+        self._steps += 1
+
+        for slot in list(range(b)):
+            sid = self._slots[slot]
+            if sid is None:
+                continue
+            self._append_token(self._sequences[sid], int(next_tokens[slot]))
+        return len(active)
+
+    # -- high level ---------------------------------------------------------
+
+    def generate(
+        self, prompts: Sequence[Sequence[int]], max_new_tokens: int = 16
+    ) -> List[List[int]]:
+        """Blocking batch generation (greedy)."""
+        sids = [self.submit(p, max_new_tokens) for p in prompts]
+        while any(not self._sequences[s].done for s in sids):
+            if self.step() == 0 and any(
+                not self._sequences[s].done for s in sids
+            ):
+                # nothing active but work remains -> admission is stuck
+                raise KVCacheError("scheduler stalled: not enough pages")
+        return [self._sequences[s].tokens[self._sequences[s].prompt_len :] for s in sids]
+
+    # -- stats ---------------------------------------------------------------
+
+    def status(self) -> Dict:
+        """Cluster-status analogue (reference get_cluster_status :731)."""
+        return {
+            "active": sum(1 for s in self._slots if s is not None),
+            "waiting": len(self._waiting),
+            "finished": sum(1 for s in self._sequences.values() if s.done),
+            "pages_free": len(self._free_pages),
+            "pages_total": self.num_pages - 1,
+            "kv_dtype": "int8" if self.quantized else "bf16",
+        }
+
+    def get_performance_stats(self) -> Dict:
+        return {
+            "prefill_tokens": self._prefill_tokens,
+            "decode_tokens": self._decode_tokens,
+            "decode_steps": self._steps,
+            "prefill_tokens_per_s": (
+                self._prefill_tokens / self._prefill_time if self._prefill_time else 0.0
+            ),
+            "decode_tokens_per_s": (
+                self._decode_tokens / self._decode_time if self._decode_time else 0.0
+            ),
+            **self.status(),
+        }

@@ -1,0 +1,274 @@
+"""Functional GPT-2 serving path: paged-KV prefill + decode steps.
+
+The inference engine the reference only gestures at (its memory manager
+pools tensors but no KV cache exists; its "distributed" batching is
+thread-simulated). Here, one jit-compiled step function per phase:
+
+* ``prefill_step`` — full-prompt forward with the flash kernel, writing
+  every token's K/V into the sequence's pages (scatter by flat slot ids).
+* ``decode_step`` — one token per sequence: QKV projection, K/V page
+  write, paged attention against the (optionally INT8) page pool.
+
+Both operate directly on the ``GPT2LMHead`` parameter pytree (scanned
+layout: layer params stacked on a leading (L,) axis) via ``lax.scan``
+over layers, so the compiled program holds one layer body.
+
+Cache layout (all layers in one array for single-scatter updates):
+  k_pages/v_pages: (L, Hkv, num_pages, page_size, D)
+  k_scales/v_scales: (L, Hkv, num_pages, page_size) fp32 (int8 mode)
+
+Host-side page tables live in :class:`..core.serving.ServingEngine`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.flash import flash_attention
+from ..ops.paged import paged_attention_xla
+from ..ops.pallas_utils import resolve_interpret
+from .gpt2 import GPT2Config
+
+INT8_MAX = 127.0
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVPages:
+    """Device-side paged KV store for all layers."""
+
+    k: jax.Array  # (L, Hkv, P, page, D)
+    v: jax.Array
+    k_scales: Optional[jax.Array]  # (L, Hkv, P, page) or None
+    v_scales: Optional[jax.Array]
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scales, self.v_scales), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
+
+    @staticmethod
+    def create(
+        cfg: GPT2Config, num_pages: int, page_size: int, dtype=jnp.bfloat16
+    ) -> "KVPages":
+        head_dim = cfg.n_embd // cfg.n_head
+        shape = (cfg.n_layer, cfg.n_head, num_pages, page_size, head_dim)
+        quant = dtype == jnp.int8
+        sshape = (cfg.n_layer, cfg.n_head, num_pages, page_size)
+        return KVPages(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            k_scales=jnp.ones(sshape, jnp.float32) if quant else None,
+            v_scales=jnp.ones(sshape, jnp.float32) if quant else None,
+        )
+
+
+def _layer_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
+
+
+def _dense(x, kernel, bias):
+    y = jnp.dot(x, kernel.astype(x.dtype))
+    return y + bias.astype(x.dtype)
+
+
+def _quant_tokens(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token int8 quantization. x: (..., D) -> payload int8, scales."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / INT8_MAX)
+    payload = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -INT8_MAX, INT8_MAX
+    ).astype(jnp.int8)
+    return payload, scale
+
+
+def _write_tokens(layer_sel, k_new, v_new, flat_slots, quantized):
+    """Scatter new tokens into the flattened (P*page) token axis.
+
+    layer_sel: dict of this layer's page arrays (Hkv, P, page, D) as
+    carried through the layer scan. k_new/v_new: (N, Hkv, D);
+    flat_slots: (N,) int32 page_id*page_size + offset.
+    """
+    hkv, p, page, d = layer_sel["k"].shape
+    kf = layer_sel["k"].reshape(hkv, p * page, d)
+    vf = layer_sel["v"].reshape(hkv, p * page, d)
+    if quantized:
+        k8, ks = _quant_tokens(k_new)
+        v8, vs = _quant_tokens(v_new)
+        kf = kf.at[:, flat_slots].set(k8.transpose(1, 0, 2))
+        vf = vf.at[:, flat_slots].set(v8.transpose(1, 0, 2))
+        ksf = layer_sel["ks"].reshape(hkv, p * page)
+        vsf = layer_sel["vs"].reshape(hkv, p * page)
+        ksf = ksf.at[:, flat_slots].set(ks.T)
+        vsf = vsf.at[:, flat_slots].set(vs.T)
+        return {
+            "k": kf.reshape(hkv, p, page, d),
+            "v": vf.reshape(hkv, p, page, d),
+            "ks": ksf.reshape(hkv, p, page),
+            "vs": vsf.reshape(hkv, p, page),
+        }
+    kf = kf.at[:, flat_slots].set(k_new.transpose(1, 0, 2).astype(kf.dtype))
+    vf = vf.at[:, flat_slots].set(v_new.transpose(1, 0, 2).astype(vf.dtype))
+    return {
+        "k": kf.reshape(hkv, p, page, d),
+        "v": vf.reshape(hkv, p, page, d),
+        "ks": layer_sel["ks"],
+        "vs": layer_sel["vs"],
+    }
+
+
+def _pages_to_scan_tree(pages: KVPages) -> Dict[str, jax.Array]:
+    dummy = jnp.zeros((pages.k.shape[0], 1, 1, 1), jnp.float32)
+    return {
+        "k": pages.k,
+        "v": pages.v,
+        "ks": pages.k_scales if pages.quantized else dummy,
+        "vs": pages.v_scales if pages.quantized else dummy,
+    }
+
+
+def _scan_tree_to_pages(tree: Dict[str, jax.Array], quantized: bool) -> KVPages:
+    return KVPages(
+        k=tree["k"],
+        v=tree["v"],
+        k_scales=tree["ks"] if quantized else None,
+        v_scales=tree["vs"] if quantized else None,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized"))
+def prefill_step(
+    params: Dict[str, Any],
+    cfg: GPT2Config,
+    input_ids: jax.Array,  # (B, S) right-padded with 0
+    prompt_lengths: jax.Array,  # (B,)
+    pages_tree: Dict[str, jax.Array],
+    flat_slots: jax.Array,  # (B, S) int32 flat page slots (garbage past len)
+    quantized: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Prompt forward + cache fill. Returns (last-token logits (B, V),
+    updated pages_tree)."""
+    b, s = input_ids.shape
+    h, d = cfg.n_head, cfg.n_embd // cfg.n_head
+    eps = cfg.layer_norm_epsilon
+    positions = jnp.arange(s, dtype=jnp.int32)[None]
+    x = (
+        params["wte"].astype(cfg.dtype)[input_ids]
+        + params["wpe"].astype(cfg.dtype)[positions]
+    )
+    # Mask padded slots so their K/V writes land in a scratch page slot 0?
+    # Instead: clamp pad slots to each row's slot 0 then rely on length
+    # masking at read time. Simpler: scatter all S tokens; pad positions
+    # write to the sequence's own reserved pages (slots computed by the
+    # host include padding range within reserved pages).
+    blk = params["h"]["block"]
+
+    def layer(carry, xs):
+        x = carry
+        p_l, cache_l = xs
+        h_in = _layer_norm(x, p_l["ln_1"]["scale"], p_l["ln_1"]["bias"], eps)
+        q = _dense(h_in, p_l["attn"]["q_proj"]["kernel"], p_l["attn"]["q_proj"]["bias"])
+        k = _dense(h_in, p_l["attn"]["k_proj"]["kernel"], p_l["attn"]["k_proj"]["bias"])
+        v = _dense(h_in, p_l["attn"]["v_proj"]["kernel"], p_l["attn"]["v_proj"]["bias"])
+        qh = q.reshape(b, s, h, d)
+        kh = k.reshape(b, s, h, d)
+        vh = v.reshape(b, s, h, d)
+        cache_l = _write_tokens(
+            cache_l,
+            kh.reshape(b * s, h, d),
+            vh.reshape(b * s, h, d),
+            flat_slots.reshape(b * s),
+            quantized,
+        )
+        attn = flash_attention(qh, kh, vh, causal=True)
+        attn = attn.reshape(b, s, h * d)
+        attn = _dense(
+            attn, p_l["attn"]["out_proj"]["kernel"], p_l["attn"]["out_proj"]["bias"]
+        )
+        x = x + attn
+        h2 = _layer_norm(x, p_l["ln_2"]["scale"], p_l["ln_2"]["bias"], eps)
+        m = _dense(h2, p_l["mlp"]["c_fc"]["kernel"], p_l["mlp"]["c_fc"]["bias"])
+        m = jax.nn.gelu(m, approximate=True)
+        m = _dense(m, p_l["mlp"]["c_proj"]["kernel"], p_l["mlp"]["c_proj"]["bias"])
+        return x + m, cache_l
+
+    pages_scan = pages_tree
+    x, new_cache = jax.lax.scan(layer, x, (blk, pages_scan))
+    x = _layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"], eps)
+    # Last *real* token's logits per row.
+    idx = jnp.clip(prompt_lengths - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+    logits = x_last @ params["wte"].astype(cfg.dtype).T
+    return logits.astype(jnp.float32), new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized"), donate_argnums=(4,))
+def decode_step(
+    params: Dict[str, Any],
+    cfg: GPT2Config,
+    input_ids: jax.Array,  # (B,) current token per sequence
+    positions: jax.Array,  # (B,) position of that token
+    pages_tree: Dict[str, jax.Array],
+    flat_slots: jax.Array,  # (B,) flat slot for the new token
+    lengths: jax.Array,  # (B,) cache length AFTER this token
+    page_tables: jax.Array,  # (B, pages_per_seq)
+    quantized: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One decode token per sequence. Returns (logits (B, V), new pages)."""
+    b = input_ids.shape[0]
+    h, d = cfg.n_head, cfg.n_embd // cfg.n_head
+    eps = cfg.layer_norm_epsilon
+    x = (
+        params["wte"].astype(cfg.dtype)[input_ids]
+        + params["wpe"].astype(cfg.dtype)[positions]
+    )  # (B, E)
+    blk = params["h"]["block"]
+
+    def layer(carry, xs):
+        x = carry  # (B, E)
+        p_l, cache_l = xs
+        h_in = _layer_norm(x, p_l["ln_1"]["scale"], p_l["ln_1"]["bias"], eps)
+        q = _dense(h_in, p_l["attn"]["q_proj"]["kernel"], p_l["attn"]["q_proj"]["bias"])
+        k = _dense(h_in, p_l["attn"]["k_proj"]["kernel"], p_l["attn"]["k_proj"]["bias"])
+        v = _dense(h_in, p_l["attn"]["v_proj"]["kernel"], p_l["attn"]["v_proj"]["bias"])
+        kh = k.reshape(b, h, d)
+        vh = v.reshape(b, h, d)
+        cache_l = _write_tokens(cache_l, kh, vh, flat_slots, quantized)
+        attn = paged_attention_xla(
+            q.reshape(b, h, d).astype(jnp.float32),
+            cache_l["k"],
+            cache_l["v"],
+            lengths,
+            page_tables,
+            cache_l["ks"] if quantized else None,
+            cache_l["vs"] if quantized else None,
+        )  # (B, H, D)
+        attn = attn.reshape(b, h * d).astype(x.dtype)
+        attn = _dense(
+            attn, p_l["attn"]["out_proj"]["kernel"], p_l["attn"]["out_proj"]["bias"]
+        )
+        x = x + attn
+        h2 = _layer_norm(x, p_l["ln_2"]["scale"], p_l["ln_2"]["bias"], eps)
+        m = _dense(h2, p_l["mlp"]["c_fc"]["kernel"], p_l["mlp"]["c_fc"]["bias"])
+        m = jax.nn.gelu(m, approximate=True)
+        m = _dense(m, p_l["mlp"]["c_proj"]["kernel"], p_l["mlp"]["c_proj"]["bias"])
+        return x + m, cache_l
+
+    x, new_cache = jax.lax.scan(layer, x, (blk, pages_tree))
+    x = _layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"], eps)
+    logits = x @ params["wte"].astype(cfg.dtype).T
+    return logits.astype(jnp.float32), new_cache

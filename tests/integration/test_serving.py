@@ -1,0 +1,108 @@
+"""Serving engine: paged incremental decode must match full dense forward.
+
+The decisive correctness test for the whole serving path: greedy decode
+through {prefill -> paged decode steps over the (INT8) page pool} must
+reproduce the tokens the dense model picks, and the continuous-batching
+scheduler must recycle pages across requests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photonic_flash_attention_tpu.core.serving import ServingEngine
+from photonic_flash_attention_tpu.models.gpt2 import GPT2Config, GPT2LMHead
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = GPT2Config.tiny()
+    model = GPT2LMHead(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    return cfg, model, variables
+
+
+def dense_greedy(model, variables, prompt, n_new):
+    """Oracle: greedy decode by full re-forward each step."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = model.apply(variables, jnp.asarray([toks], jnp.int32))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+class TestServingCorrectness:
+    def test_bf16_matches_dense_greedy(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=64, page_size=16, max_batch=4
+        )
+        prompts = [list(rng.integers(1, cfg.vocab_size, n)) for n in (5, 12, 3)]
+        outs = eng.generate(prompts, max_new_tokens=8)
+        for p, o in zip(prompts, outs):
+            assert o == dense_greedy(model, variables, p, 8), f"prompt {p}"
+
+    def test_int8_kv_close_to_dense(self, tiny_model, rng):
+        """INT8 KV cache: greedy tokens may legitimately diverge, so gate
+        on the first-step logits instead."""
+        cfg, model, variables = tiny_model
+        eng = ServingEngine(
+            cfg,
+            variables["params"],
+            num_pages=64,
+            page_size=16,
+            max_batch=2,
+            kv_dtype=jnp.int8,
+        )
+        prompt = list(rng.integers(1, cfg.vocab_size, 9))
+        outs = eng.generate([prompt], max_new_tokens=4)
+        assert len(outs[0]) == 4
+        # at minimum the first generated token (pure prefill, flash path)
+        # must agree with the dense model
+        assert outs[0][0] == dense_greedy(model, variables, prompt, 1)[0]
+
+    def test_continuous_batching_page_recycling(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=12, page_size=16, max_batch=2,
+            max_pages_per_seq=4,
+        )
+        # 5 requests through a pool that only fits ~2 at a time.
+        prompts = [list(rng.integers(1, cfg.vocab_size, 8)) for _ in range(5)]
+        outs = eng.generate(prompts, max_new_tokens=4)
+        assert all(len(o) == 4 for o in outs)
+        st = eng.status()
+        assert st["finished"] == 5
+        assert st["pages_free"] == st["pages_total"]  # all recycled
+
+    def test_interleaved_submission(self, tiny_model, rng):
+        """Sequences joining mid-flight (true continuous batching)."""
+        cfg, model, variables = tiny_model
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=64, page_size=16, max_batch=4
+        )
+        p1 = list(rng.integers(1, cfg.vocab_size, 6))
+        p2 = list(rng.integers(1, cfg.vocab_size, 7))
+        s1 = eng.submit(p1, max_new_tokens=6)
+        eng.step()  # p1 starts decoding
+        eng.step()
+        s2 = eng.submit(p2, max_new_tokens=3)  # joins mid-flight
+        while not (eng._sequences[s1].done and eng._sequences[s2].done):
+            eng.step()
+        o1 = eng._sequences[s1].tokens[len(p1):]
+        o2 = eng._sequences[s2].tokens[len(p2):]
+        assert o1 == dense_greedy(model, variables, p1, 6)
+        assert o2 == dense_greedy(model, variables, p2, 3)
+
+    def test_stats_surface(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=64, page_size=16, max_batch=2
+        )
+        eng.generate([list(rng.integers(1, cfg.vocab_size, 5))], max_new_tokens=3)
+        s = eng.get_performance_stats()
+        assert s["decode_tokens"] > 0
+        assert s["prefill_tokens"] == 5
+        assert s["decode_tokens_per_s"] > 0
