@@ -1,0 +1,170 @@
+"""Analytic roofline cost model for attention kernels.
+
+The rebirth of the reference's device-physics sandbox (reference
+photonic/simulation/circuit.py:25-665 simulated S-matrices and frequency
+responses of a hardware it didn't have) as the simulator a TPU engine
+actually needs: given a workload and a chip generation, predict FLOPs,
+bytes moved, compute-bound vs memory-bound, and the speed-of-light
+latency. Three consumers:
+
+* the router — analytic priors before measurements exist,
+* the autotuner — sanity bounds on measured numbers,
+* bench/CI — "% of roofline" reporting (the north-star metric).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+from .detection import TPUCapabilities, get_best_tpu_device
+
+_DTYPE_BYTES = {"bf16": 2, "fp16": 2, "f32": 4, "fp8": 1, "int8": 1}
+
+
+@dataclasses.dataclass
+class KernelCost:
+    flops: float
+    hbm_bytes: float
+    t_compute_us: float
+    t_memory_us: float
+
+    @property
+    def t_roofline_us(self) -> float:
+        return max(self.t_compute_us, self.t_memory_us)
+
+    @property
+    def bound(self) -> str:
+        return "compute" if self.t_compute_us >= self.t_memory_us else "memory"
+
+    @property
+    def arithmetic_intensity(self) -> float:
+        return self.flops / max(self.hbm_bytes, 1.0)
+
+    def as_dict(self) -> Dict:
+        return {
+            "flops": self.flops,
+            "hbm_bytes": self.hbm_bytes,
+            "t_compute_us": self.t_compute_us,
+            "t_memory_us": self.t_memory_us,
+            "t_roofline_us": self.t_roofline_us,
+            "bound": self.bound,
+            "arithmetic_intensity": self.arithmetic_intensity,
+        }
+
+
+def _caps(caps: Optional[TPUCapabilities]) -> TPUCapabilities:
+    if caps is not None:
+        return caps
+    dev = get_best_tpu_device()
+    if dev is None:
+        raise RuntimeError("no device detected for roofline model")
+    return dev.capabilities
+
+
+def attention_prefill_cost(
+    batch: int,
+    q_len: int,
+    kv_len: int,
+    num_heads: int,
+    head_dim: int,
+    *,
+    causal: bool = False,
+    dtype: str = "bf16",
+    caps: Optional[TPUCapabilities] = None,
+) -> KernelCost:
+    """Flash-attention forward cost (QK^T + PV, streaming KV from HBM)."""
+    c = _caps(caps)
+    frac = 0.5 if causal and q_len == kv_len else 1.0
+    flops = 4.0 * batch * num_heads * q_len * kv_len * head_dim * frac
+    b = _DTYPE_BYTES[dtype]
+    # q read + o write once; k, v read once (flash streams tiles).
+    hbm = batch * num_heads * head_dim * b * (2 * q_len + 2 * kv_len)
+    peak_flops = (c.int8_tops if dtype in ("int8", "fp8") else c.bf16_tflops) * 1e12
+    # head_dim < 128 underfills the MXU contraction lanes.
+    mxu_eff = min(1.0, head_dim / 128.0)
+    t_comp = flops / (peak_flops * mxu_eff) * 1e6
+    t_mem = hbm / (c.hbm_gbps * 1e9) * 1e6
+    return KernelCost(flops, hbm, t_comp, t_mem)
+
+
+def attention_decode_cost(
+    batch: int,
+    kv_len: int,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    *,
+    kv_dtype: str = "bf16",
+    caps: Optional[TPUCapabilities] = None,
+) -> KernelCost:
+    """Paged decode cost: one query token vs the whole KV cache.
+
+    Decode is HBM-bound: the cache read dominates. INT8 KV halves bytes
+    — the source of its ~2x decode speedup.
+    """
+    c = _caps(caps)
+    flops = 4.0 * batch * num_q_heads * kv_len * head_dim
+    b = _DTYPE_BYTES[kv_dtype]
+    hbm = 2.0 * batch * num_kv_heads * kv_len * head_dim * b  # K + V read
+    if kv_dtype == "int8":
+        hbm += 2.0 * batch * num_kv_heads * kv_len * 4  # per-token scales
+    peak_flops = c.bf16_tflops * 1e12
+    t_comp = flops / (peak_flops * min(1.0, head_dim / 128.0)) * 1e6
+    t_mem = hbm / (c.hbm_gbps * 1e9) * 1e6
+    return KernelCost(flops, hbm, t_comp, t_mem)
+
+
+def matmul_cost(
+    m: int,
+    n: int,
+    k: int,
+    *,
+    dtype: str = "bf16",
+    caps: Optional[TPUCapabilities] = None,
+) -> KernelCost:
+    c = _caps(caps)
+    flops = 2.0 * m * n * k
+    b = _DTYPE_BYTES[dtype]
+    hbm = (m * k + k * n + m * n) * b
+    peak = (c.int8_tops if dtype in ("int8", "fp8") else c.bf16_tflops) * 1e12
+    return KernelCost(
+        flops, hbm, flops / peak * 1e6, hbm / (c.hbm_gbps * 1e9) * 1e6
+    )
+
+
+def ring_attention_step_cost(
+    batch: int,
+    local_seq: int,
+    num_heads: int,
+    head_dim: int,
+    n_devices: int,
+    *,
+    dtype: str = "bf16",
+    caps: Optional[TPUCapabilities] = None,
+) -> Dict:
+    """Per-step compute vs ICI transfer; overlap efficiency estimate.
+
+    Ring attention hides communication when t_compute >= t_ici (guide
+    §16); returns both plus the predicted overlap ratio.
+    """
+    c = _caps(caps)
+    comp = attention_prefill_cost(
+        batch, local_seq, local_seq, num_heads, head_dim, dtype=dtype, caps=c
+    )
+    b = _DTYPE_BYTES[dtype]
+    kv_bytes = 2.0 * batch * num_heads * local_seq * head_dim * b
+    t_ici_us = kv_bytes / (max(c.ici_gbps, 1e-3) * 1e9) * 1e6
+    overlap = min(1.0, comp.t_roofline_us / max(t_ici_us, 1e-9))
+    return {
+        "t_compute_us": comp.t_roofline_us,
+        "t_ici_us": t_ici_us,
+        "overlap_efficiency": overlap,
+        "comm_hidden": comp.t_roofline_us >= t_ici_us,
+        "steps": n_devices,
+    }
+
+
+def roofline_fraction(measured_us: float, cost: KernelCost) -> float:
+    """Fraction of speed-of-light achieved (north-star metric)."""
+    return cost.t_roofline_us / max(measured_us, 1e-9)

@@ -1,0 +1,25 @@
+"""Optimization: caching, profiling, adaptive operation wrapping."""
+
+from .caching import (
+    CacheStats,
+    CompileCacheManager,
+    ResultCache,
+    cache_key,
+    cached_computation,
+)
+from .performance_optimizer import (
+    AdaptiveOptimizer,
+    WorkloadProfiler,
+    get_performance_optimizer,
+)
+
+__all__ = [
+    "AdaptiveOptimizer",
+    "CacheStats",
+    "CompileCacheManager",
+    "ResultCache",
+    "WorkloadProfiler",
+    "cache_key",
+    "cached_computation",
+    "get_performance_optimizer",
+]

@@ -1,0 +1,87 @@
+"""Hardware detection + roofline model sanity."""
+
+import pytest
+
+from photonic_flash_attention_tpu.hardware.detection import (
+    _CAPABILITY_TABLE,
+    _classify,
+    detect_tpu_hardware,
+    get_best_tpu_device,
+    get_device_info,
+)
+from photonic_flash_attention_tpu.hardware.roofline import (
+    attention_decode_cost,
+    attention_prefill_cost,
+    matmul_cost,
+    ring_attention_step_cost,
+    roofline_fraction,
+)
+
+V5E = _CAPABILITY_TABLE["v5e"]
+
+
+class TestDetection:
+    def test_detects_devices(self):
+        devs = detect_tpu_hardware(refresh=True)
+        assert len(devs) >= 1
+        assert devs[0].platform in ("cpu", "tpu")
+
+    def test_best_device(self):
+        assert get_best_tpu_device() is not None
+
+    def test_info_surface(self):
+        info = get_device_info()
+        assert info["device_count"] >= 1
+        assert "generation" in info["devices"][0]
+
+    @pytest.mark.parametrize(
+        "kind,gen",
+        [
+            ("TPU v5 lite", "v5e"),
+            ("TPU v5e", "v5e"),
+            ("TPU v5p", "v5p"),
+            ("TPU v4", "v4"),
+            ("TPU v6e", "v6e"),
+            ("TPU v7x", "unknown"),
+        ],
+    )
+    def test_classify(self, kind, gen):
+        assert _classify(kind) == gen
+
+
+class TestRoofline:
+    def test_prefill_compute_bound_long_seq(self):
+        c = attention_prefill_cost(4, 4096, 4096, 12, 128, dtype="bf16", caps=V5E)
+        assert c.bound == "compute"
+        assert c.flops == 4 * 4 * 12 * 4096 * 4096 * 128
+
+    def test_decode_memory_bound(self):
+        c = attention_decode_cost(8, 8192, 12, 12, 128, kv_dtype="bf16", caps=V5E)
+        assert c.bound == "memory"
+
+    def test_int8_kv_halves_decode_bytes(self):
+        bf16 = attention_decode_cost(8, 8192, 12, 12, 128, kv_dtype="bf16", caps=V5E)
+        int8 = attention_decode_cost(8, 8192, 12, 12, 128, kv_dtype="int8", caps=V5E)
+        # int8 payload is half; scales add a little back
+        assert int8.hbm_bytes < 0.6 * bf16.hbm_bytes
+        assert int8.t_roofline_us < bf16.t_roofline_us
+
+    def test_causal_halves_flops(self):
+        full = attention_prefill_cost(1, 2048, 2048, 8, 64, caps=V5E)
+        causal = attention_prefill_cost(1, 2048, 2048, 8, 64, causal=True, caps=V5E)
+        assert causal.flops == pytest.approx(full.flops / 2)
+
+    def test_small_head_dim_penalized(self):
+        d64 = attention_prefill_cost(1, 2048, 2048, 8, 64, caps=V5E)
+        d128 = attention_prefill_cost(1, 2048, 2048, 8, 128, caps=V5E)
+        # d128 has 2x flops but same MXU efficiency ceiling per flop
+        assert d128.t_compute_us == pytest.approx(d64.t_compute_us, rel=0.01)
+
+    def test_ring_overlap_large_shards_hidden(self):
+        r = ring_attention_step_cost(1, 8192, 16, 128, 4, caps=V5E)
+        assert r["comm_hidden"]
+        assert r["overlap_efficiency"] == 1.0
+
+    def test_roofline_fraction(self):
+        c = matmul_cost(4096, 4096, 4096, caps=V5E)
+        assert 0.49 < roofline_fraction(c.t_roofline_us * 2, c) < 0.51
