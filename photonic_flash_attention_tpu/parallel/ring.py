@@ -178,4 +178,25 @@ def make_ring_attention(
         out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+    n_seq = mesh.shape[seq_axis]
+
+    def with_telemetry(q, k, v):
+        out = jitted(q, k, v)
+        # Analytic per-call accounting: each of the n-1 ring steps moves
+        # this device's K and V shards to its neighbor (telemetry is the
+        # NoC-stats surface; see parallel/telemetry.py).
+        try:
+            from .telemetry import get_telemetry
+
+            shard_bytes = (
+                k.size // max(n_seq, 1) * jnp.dtype(k.dtype).itemsize
+            )
+            tel = get_telemetry()
+            for _ in range(max(n_seq - 1, 0)):
+                tel.record(seq_axis, "ppermute", 2 * shard_bytes, n_seq)
+        except Exception:  # noqa: BLE001 - telemetry must never break compute
+            pass
+        return out
+
+    return with_telemetry

@@ -1,0 +1,139 @@
+"""Collective telemetry — per-axis communication accounting.
+
+The rebirth of the photonic NoC simulator's *observable* surface
+(reference photonic/optical_kernels/interconnect.py:475-515: per-link
+utilization stats, congestion detection at >= 0.8 utilization, delivery
+stats) for real XLA collectives: every instrumented collective call site
+records bytes moved per (mesh axis, op), utilization is estimated against
+the chip generation's ICI bandwidth, and the congestion threshold drives
+the same adapt/alert behavior the reference's ``adapt_routing`` had.
+
+Byte accounting is host-side and analytic (collectives execute inside
+jit; XLA exposes no per-op counters) — which is exactly what the
+reference's simulator provided, except the transfers here are real and
+the bandwidth model matches the hardware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from collections import defaultdict
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..hardware.detection import get_best_tpu_device
+from ..utils.logging import get_logger
+
+logger = get_logger("telemetry")
+
+CONGESTION_THRESHOLD = 0.8  # reference interconnect.py:486-502
+
+
+def collective_bytes(op: str, shard_bytes: int, axis_size: int) -> int:
+    """Bytes a device moves for one collective over an axis (ring algos)."""
+    if axis_size <= 1:
+        return 0
+    if op == "ppermute":
+        return shard_bytes
+    if op == "all_gather":
+        return shard_bytes * (axis_size - 1)
+    if op == "psum":  # ring all-reduce = reduce-scatter + all-gather
+        return 2 * shard_bytes * (axis_size - 1) // axis_size * 1
+    if op == "reduce_scatter":
+        return shard_bytes * (axis_size - 1) // axis_size
+    if op == "all_to_all":
+        return shard_bytes * (axis_size - 1) // axis_size
+    return shard_bytes
+
+
+@dataclasses.dataclass
+class AxisStats:
+    bytes_total: int = 0
+    ops: int = 0
+    by_op: Dict[str, int] = dataclasses.field(default_factory=lambda: defaultdict(int))
+    window_start: float = dataclasses.field(default_factory=time.time)
+    window_bytes: int = 0
+
+
+class CollectiveTelemetry:
+    """Per-axis byte/utilization accounting (the NoC stats surface)."""
+
+    WINDOW_S = 10.0
+
+    def __init__(self, ici_gbps: Optional[float] = None) -> None:
+        if ici_gbps is None:
+            dev = get_best_tpu_device()
+            ici_gbps = dev.capabilities.ici_gbps if dev else 100.0
+        self.ici_gbps = max(ici_gbps, 1e-3)
+        self._axes: Dict[str, AxisStats] = defaultdict(AxisStats)
+        self._lock = threading.RLock()
+        self._congestion_events = 0
+
+    def record(self, axis: str, op: str, shard_bytes: int, axis_size: int) -> None:
+        moved = collective_bytes(op, shard_bytes, axis_size)
+        now = time.time()
+        with self._lock:
+            st = self._axes[axis]
+            st.bytes_total += moved
+            st.ops += 1
+            st.by_op[op] += moved
+            if now - st.window_start > self.WINDOW_S:
+                st.window_start = now
+                st.window_bytes = 0
+            st.window_bytes += moved
+            if self.utilization(axis) >= CONGESTION_THRESHOLD:
+                self._congestion_events += 1
+                logger.warning(
+                    "axis %s congested (%.0f%% of ICI)", axis,
+                    100 * self.utilization(axis),
+                )
+
+    def utilization(self, axis: str) -> float:
+        """Windowed bytes vs ICI capacity (reference link utilization)."""
+        st = self._axes.get(axis)
+        if st is None:
+            return 0.0
+        elapsed = max(time.time() - st.window_start, 1e-3)
+        return (st.window_bytes / elapsed) / (self.ici_gbps * 1e9)
+
+    def record_array(self, axis: str, op: str, x, axis_size: int) -> None:
+        nbytes = int(np.prod(x.shape)) * jax.numpy.dtype(x.dtype).itemsize
+        self.record(axis, op, nbytes, axis_size)
+
+    def get_stats(self) -> Dict:
+        with self._lock:
+            return {
+                "ici_gbps": self.ici_gbps,
+                "congestion_events": self._congestion_events,
+                "axes": {
+                    name: {
+                        "bytes_total": st.bytes_total,
+                        "ops": st.ops,
+                        "by_op": dict(st.by_op),
+                        "utilization": self.utilization(name),
+                    }
+                    for name, st in self._axes.items()
+                },
+            }
+
+    def reset(self) -> None:
+        with self._lock:
+            self._axes.clear()
+            self._congestion_events = 0
+
+
+_telemetry: Optional[CollectiveTelemetry] = None
+_tel_lock = threading.Lock()
+
+
+def get_telemetry() -> CollectiveTelemetry:
+    global _telemetry
+    if _telemetry is None:
+        with _tel_lock:
+            if _telemetry is None:
+                _telemetry = CollectiveTelemetry()
+    return _telemetry
