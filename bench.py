@@ -37,9 +37,18 @@ def _bench(fn, args, iters=20):
 
 
 def main() -> None:
-    from photonic_flash_attention_tpu.core.autotuner import candidate_blocks
+    import sys
+
     from photonic_flash_attention_tpu.ops.flash import flash_attention
     from photonic_flash_attention_tpu.ops.reference import attention_reference
+    from photonic_flash_attention_tpu.optimization.caching import CompileCacheManager
+
+    # Persistent XLA compile cache: repeated driver runs skip recompiles
+    # (remote compile latency through tunneled runtimes is large/variable).
+    try:
+        CompileCacheManager().enable()
+    except Exception:
+        pass
 
     B, S, H, D = 4, 2048, 12, 64
     rng = np.random.default_rng(0)
@@ -48,24 +57,21 @@ def main() -> None:
     v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
 
     # Baseline: XLA-fused naive attention.
+    print("compiling baseline...", file=sys.stderr, flush=True)
     naive = jax.jit(lambda q, k, v: attention_reference(q, k, v, causal=True)[0])
     t_naive = _bench(naive, (q, k, v))
+    print(f"baseline {t_naive*1e3:.3f} ms", file=sys.stderr, flush=True)
 
-    # Flash kernel: small measured sweep (autotuner candidates).
-    best = None
-    for bq, bkv in candidate_blocks(S, S, D):
-        fn = jax.jit(
-            lambda q, k, v, bq=bq, bkv=bkv: flash_attention(
-                q, k, v, causal=True, block_q=bq, block_kv=bkv
-            )
+    # Flash kernel at the tuned default block sizes (512 x 1024, measured
+    # best on v5e — see ops/flash.py).
+    bq, bkv = 512, 1024
+    fn = jax.jit(
+        lambda q, k, v: flash_attention(
+            q, k, v, causal=True, block_q=bq, block_kv=bkv
         )
-        try:
-            t = _bench(fn, (q, k, v), iters=10)
-        except Exception:
-            continue
-        if best is None or t < best[0]:
-            best = (t, bq, bkv)
-    t_flash, bq, bkv = best
+    )
+    t_flash = _bench(fn, (q, k, v))
+    print(f"flash {t_flash*1e3:.3f} ms", file=sys.stderr, flush=True)
 
     tokens_per_s = B * S / t_flash
     print(

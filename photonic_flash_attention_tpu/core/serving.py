@@ -38,6 +38,64 @@ logger = get_logger("serving")
 _TRASH_PAGE = 0  # page 0 is never allocated; padded/inactive writes land here
 
 
+class _PyPageAllocator:
+    """Pure-Python fallback with the native allocator's interface
+    (core/native_alloc.py); page 0 reserved as trash."""
+
+    def __init__(self, num_pages: int, page_size: int, max_pages_per_seq: int) -> None:
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.max_pages_per_seq = max_pages_per_seq
+        self._free = list(range(num_pages - 1, 0, -1))
+        self._pages: Dict[int, List[int]] = {}
+        self._next = 0
+
+    def _reserve(self, pages: List[int], total_tokens: int) -> None:
+        need = -(-total_tokens // self.page_size) - len(pages)
+        if need <= 0:
+            return
+        if len(pages) + need > self.max_pages_per_seq:
+            raise KVCacheError("request exceeds max_pages_per_seq")
+        if need > len(self._free):
+            raise KVCacheError("KV cache out of pages")
+        for _ in range(need):
+            pages.append(self._free.pop())
+
+    def allocate_sequence(self, reserve_tokens: int = 0) -> int:
+        pages: List[int] = []
+        if reserve_tokens:
+            self._reserve(pages, reserve_tokens)
+        sid = self._next
+        self._next += 1
+        self._pages[sid] = pages
+        return sid
+
+    def extend(self, sid: int, new_total_tokens: int) -> None:
+        self._reserve(self._pages[sid], new_total_tokens)
+
+    def free_sequence(self, sid: int) -> None:
+        self._free.extend(self._pages.pop(sid))
+
+    def page_ids(self, sid: int) -> List[int]:
+        return list(self._pages[sid])
+
+    def stats(self) -> Dict[str, int]:
+        used = self.num_pages - 1 - len(self._free)
+        return {"pages_used": used, "pages_free": len(self._free)}
+
+
+def _make_allocator(num_pages: int, page_size: int, max_pages_per_seq: int):
+    """Prefer the C++ allocator (see native/page_allocator.cpp)."""
+    try:
+        from .native_alloc import NativePageAllocator, native_available
+
+        if native_available():
+            return NativePageAllocator(num_pages, page_size, max_pages_per_seq)
+    except Exception:  # noqa: BLE001 - any native issue falls back to Python
+        pass
+    return _PyPageAllocator(num_pages, page_size, max_pages_per_seq)
+
+
 @dataclasses.dataclass
 class _Sequence:
     seq_id: int
@@ -45,6 +103,7 @@ class _Sequence:
     prompt_len: int
     max_new_tokens: int
     page_ids: List[int] = dataclasses.field(default_factory=list)
+    alloc_id: Optional[int] = None  # allocator-side sequence handle
     slot: Optional[int] = None  # decode batch slot
     done: bool = False
     submitted_at: float = dataclasses.field(default_factory=time.time)
@@ -86,7 +145,8 @@ class ServingEngine:
         self.pages_tree = _pages_to_scan_tree(
             KVPages.create(cfg, num_pages, page_size, kv_dtype)
         )
-        self._free_pages = list(range(num_pages - 1, 0, -1))  # page 0 = trash
+        # Page bookkeeping: native C++ allocator when available.
+        self._alloc = _make_allocator(num_pages, page_size, max_pages_per_seq)
         self._slots: List[Optional[int]] = [None] * max_batch  # slot -> seq_id
         self._sequences: Dict[int, _Sequence] = {}
         self._waiting: List[int] = []
@@ -125,11 +185,13 @@ class ServingEngine:
                 continue
             sid = self._waiting[0]
             seq = self._sequences[sid]
-            need = self._pages_needed(seq.prompt_len + seq.max_new_tokens)
-            if need > len(self._free_pages):
+            total_tokens = seq.prompt_len + seq.max_new_tokens
+            try:
+                seq.alloc_id = self._alloc.allocate_sequence(total_tokens)
+            except KVCacheError:
                 break  # FIFO head blocked; wait for pages
             self._waiting.pop(0)
-            seq.page_ids = [self._free_pages.pop() for _ in range(need)]
+            seq.page_ids = self._alloc.page_ids(seq.alloc_id)
             seq.slot = slot
             self._slots[slot] = sid
             self._prefill(seq)
@@ -180,7 +242,9 @@ class ServingEngine:
         if seq.slot is not None:
             self._slots[seq.slot] = None
             seq.slot = None
-        self._free_pages.extend(seq.page_ids)
+        if seq.alloc_id is not None:
+            self._alloc.free_sequence(seq.alloc_id)
+            seq.alloc_id = None
         seq.page_ids = []
 
     # -- decode ------------------------------------------------------------
@@ -263,8 +327,9 @@ class ServingEngine:
             "active": sum(1 for s in self._slots if s is not None),
             "waiting": len(self._waiting),
             "finished": sum(1 for s in self._sequences.values() if s.done),
-            "pages_free": len(self._free_pages),
+            "pages_free": self._alloc.stats()["pages_free"],
             "pages_total": self.num_pages - 1,
+            "allocator": type(self._alloc).__name__,
             "kv_dtype": "int8" if self.quantized else "bf16",
         }
 

@@ -43,7 +43,7 @@ def _flash_fwd_kernel(
     k_ref,
     v_ref,
     o_ref,
-    lse_ref,
+    lse_ref,  # None when save_residuals=False (inference fast path)
     m_scratch,
     l_scratch,
     acc_scratch,
@@ -118,12 +118,13 @@ def _flash_fwd_kernel(
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
         l_fin = l_scratch[:, :1]
-        m_fin = m_scratch[:, :1]
         l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
         o_ref[0, 0] = (acc_scratch[:] * l_inv).astype(o_ref.dtype)
-        # logsumexp for the backward pass; -inf rows (fully masked) -> -inf.
-        lse = m_fin + jnp.log(jnp.where(l_fin == 0.0, 1.0, l_fin))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        if lse_ref is not None:
+            # logsumexp for backward/merging; fully-masked rows -> -inf.
+            m_fin = m_scratch[:, :1]
+            lse = m_fin + jnp.log(jnp.where(l_fin == 0.0, 1.0, l_fin))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_fwd(
@@ -138,15 +139,39 @@ def _flash_fwd(
     block_q: int,
     block_kv: int,
     interpret: bool,
-) -> Tuple[jax.Array, jax.Array]:
+    save_residuals: bool,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
     num_q_blocks = sq // block_q
     num_kv_blocks = skv // block_kv
 
     grid = (b, h, num_q_blocks, num_kv_blocks)
+
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0))
+    ]
+    if save_residuals:
+        # The lse output costs real HBM writes (B*H*S*128 fp32 — 2x the
+        # bf16 output bytes); the inference path skips it entirely.
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, sq, NUM_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, NUM_LANES), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
+            )
+        )
+        kernel_fn = _flash_fwd_kernel
+    else:
+        def kernel_fn(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
+            return _flash_fwd_kernel(
+                q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, **kw
+            )
+
     kernel = functools.partial(
-        _flash_fwd_kernel,
+        kernel_fn,
         sm_scale=sm_scale,
         causal=causal,
         kv_true_len=kv_true_len,
@@ -156,11 +181,7 @@ def _flash_fwd(
         num_kv_blocks=num_kv_blocks,
     )
 
-    out_shape = (
-        jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-        jax.ShapeDtypeStruct((b, h, sq, NUM_LANES), jnp.float32),
-    )
-    o, lse = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -168,13 +189,8 @@ def _flash_fwd(
             pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-            pl.BlockSpec(
-                (1, 1, block_q, NUM_LANES), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
-            ),
-        ),
-        out_shape=out_shape,
+        out_specs=tuple(out_specs) if save_residuals else out_specs[0],
+        out_shape=tuple(out_shape) if save_residuals else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -185,7 +201,10 @@ def _flash_fwd(
         ),
         interpret=interpret,
     )(q, k, v)
-    return o, lse[..., 0]
+    if save_residuals:
+        o, lse = outs
+        return o, lse[..., 0]
+    return outs, None
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +277,7 @@ def _flash_bwd(
 
 
 def _choose_block(seq: int, default: int) -> int:
+    """Clamp the tuned default to the (padded) sequence length."""
     return min(default, max(NUM_LANES, round_up(seq, NUM_LANES)))
 
 
@@ -274,19 +294,31 @@ def _flash_attention_core(
     block_kv: int,
     interpret: bool,
 ) -> jax.Array:
+    # Primal (inference) path: no residuals, no lse HBM traffic.
     o, _ = _flash_core_fwd_impl(
-        q, k, v, sm_scale, causal, block_q, block_kv, interpret
+        q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+        save_residuals=False,
     )
     return o
 
 
-def _flash_core_fwd_impl(q, k, v, sm_scale, causal, block_q, block_kv, interpret):
+def _pad_head_dim(d: int) -> int:
+    """64 is a natively-supported lane width (half-MXU); anything else pads
+    to a 128 multiple. Avoids doubling HBM traffic for D=64 models."""
+    if d == 64 or d % 128 == 0:
+        return d
+    return round_up(d, NUM_LANES)
+
+
+def _flash_core_fwd_impl(
+    q, k, v, sm_scale, causal, block_q, block_kv, interpret, save_residuals=True
+):
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    # Pad seq dims to block multiples and head_dim to lane multiple.
+    # Pad seq dims to block multiples; head_dim per _pad_head_dim.
     sq_p = round_up(sq, block_q)
     skv_p = round_up(skv, block_kv)
-    d_p = round_up(d, NUM_LANES)
+    d_p = _pad_head_dim(d)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
@@ -301,13 +333,15 @@ def _flash_core_fwd_impl(q, k, v, sm_scale, causal, block_q, block_kv, interpret
         block_q=block_q,
         block_kv=block_kv,
         interpret=interpret,
+        save_residuals=save_residuals,
     )
-    return o[:, :, :sq, :d], lse[:, :, :sq]
+    return o[:, :, :sq, :d], (lse[:, :, :sq] if lse is not None else None)
 
 
 def _flash_core_fwd(q, k, v, sm_scale, causal, block_q, block_kv, interpret):
     o, lse = _flash_core_fwd_impl(
-        q, k, v, sm_scale, causal, block_q, block_kv, interpret
+        q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+        save_residuals=True,
     )
     return o, (q, k, v, o, lse)
 
@@ -369,8 +403,9 @@ def flash_attention(
         v = jnp.repeat(v, group, axis=2)
 
     scale = sm_scale if sm_scale is not None else d ** -0.5
+    # Measured sweet spot on v5e (flash_tune sweeps): 512 x 1024.
     bq = block_q or _choose_block(sq, 512)
-    bkv = block_kv or _choose_block(skv, 512)
+    bkv = block_kv or _choose_block(skv, 1024)
     interp = resolve_interpret(interpret)
 
     qt = q.transpose(0, 2, 1, 3)
@@ -406,7 +441,7 @@ def flash_attention_with_lse(
         v = jnp.repeat(v, group, axis=2)
     scale = sm_scale if sm_scale is not None else d ** -0.5
     bq = block_q or _choose_block(sq, 512)
-    bkv = block_kv or _choose_block(skv, 512)
+    bkv = block_kv or _choose_block(skv, 1024)
     interp = resolve_interpret(interpret)
     o, lse = _flash_core_fwd_impl(
         q.transpose(0, 2, 1, 3),

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .flash import _pad_head_dim
 from .pallas_utils import NUM_LANES, resolve_interpret, round_up
 from .reference import DEFAULT_MASK_VALUE
 
@@ -203,7 +204,7 @@ def flash_attention_quant(
 
     sq_p = round_up(sq, block_q)
     skv_p = round_up(skv, block_kv)
-    d_p = round_up(d, NUM_LANES)
+    d_p = _pad_head_dim(d)
     qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
     kt = jnp.pad(kt, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
     vt = jnp.pad(vt, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
