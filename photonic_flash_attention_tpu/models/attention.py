@@ -42,6 +42,7 @@ def dispatch_attention(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     *,
+    bias: Optional[jax.Array] = None,
     causal: bool = False,
     need_weights: bool = False,
     sm_scale: Optional[float] = None,
@@ -49,16 +50,28 @@ def dispatch_attention(
     """Static threshold dispatch — jit-safe kernel choice.
 
     Mirrors the reference's `_should_use_photonic` threshold rule
-    (modules.py:118-143): below ``flash_threshold`` (or when weights or an
-    arbitrary mask are required) use the fused O(S^2) path, else the
-    Pallas flash kernel. Shapes are static under jit so this resolves at
-    trace time.
+    (modules.py:118-143): below ``flash_threshold`` (or when weights, an
+    arbitrary mask, or an additive bias are required) use the fused
+    O(S^2) path, else the Pallas flash kernel. Shapes are static under
+    jit so this resolves at trace time.
     """
     cfg = get_config()
     seq = max(q.shape[1], k.shape[1])
-    if need_weights or mask is not None or seq < cfg.flash_threshold:
+    if (
+        need_weights
+        or mask is not None
+        or bias is not None
+        or seq < cfg.flash_threshold
+    ):
         return fused_attention(
-            q, k, v, mask, causal=causal, sm_scale=sm_scale, need_weights=need_weights
+            q,
+            k,
+            v,
+            mask,
+            bias=bias,
+            causal=causal,
+            sm_scale=sm_scale,
+            need_weights=need_weights,
         )
     return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale), None
 

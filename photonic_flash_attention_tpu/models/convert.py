@@ -152,8 +152,6 @@ def convert_to_photonic(
     logger.info("detected %d attention layers in %s model", len(layers), family)
 
     if family == "gpt2":
-        from .gpt2 import load_hf_gpt2
-
         hf_cfg = model.config
         if hf_cfg.n_head < config.min_heads or hf_cfg.n_embd < config.min_embed_dim:
             warnings.append(
@@ -161,26 +159,45 @@ def convert_to_photonic(
                 f"embed={hf_cfg.n_embd}); converting anyway per strategy"
             )
         flax_model, variables, _ = _load_gpt2_from_loaded(model, config.dtype)
-        n_params = sum(
-            int(p.size) for p in __import__("jax").tree_util.tree_leaves(variables)
-        )
-        report = ConversionReport(
-            model_family=family,
-            total_attention_layers=len(layers),
-            converted_layers=len(layers),
-            skipped_layers=0,
-            parameters_transferred=n_params,
-            warnings=warnings,
-            elapsed_s=time.time() - t0,
-        )
-        logger.info(report.summary())
-        return flax_model, variables, report
+    elif family == "bert":
+        from .bert import transfer_hf_bert
 
-    raise ConfigurationError(
-        f"unsupported model family {family!r} "
-        f"(detected {len(layers)} attention layers: "
-        f"{[p for p, _ in layers[:4]]}...)"
+        hf_cfg = model.config
+        if (
+            hf_cfg.num_attention_heads < config.min_heads
+            or hf_cfg.hidden_size < config.min_embed_dim
+        ):
+            warnings.append(
+                f"model below conversion gates "
+                f"(heads={hf_cfg.num_attention_heads}, "
+                f"embed={hf_cfg.hidden_size}); converting anyway per strategy"
+            )
+        flax_model, variables, _ = transfer_hf_bert(model, config.dtype)
+    elif family == "t5":
+        from .t5 import transfer_hf_t5
+
+        flax_model, variables, _ = transfer_hf_t5(model, config.dtype)
+    else:
+        raise ConfigurationError(
+            f"unsupported model family {family!r} "
+            f"(detected {len(layers)} attention layers: "
+            f"{[p for p, _ in layers[:4]]}...)"
+        )
+
+    n_params = sum(
+        int(p.size) for p in __import__("jax").tree_util.tree_leaves(variables)
     )
+    report = ConversionReport(
+        model_family=family,
+        total_attention_layers=len(layers),
+        converted_layers=len(layers),
+        skipped_layers=0,
+        parameters_transferred=n_params,
+        warnings=warnings,
+        elapsed_s=time.time() - t0,
+    )
+    logger.info(report.summary())
+    return flax_model, variables, report
 
 
 def _load_gpt2_from_loaded(hf_model: Any, dtype) -> Tuple[Any, Dict, Any]:

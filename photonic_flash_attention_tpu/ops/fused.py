@@ -24,11 +24,19 @@ def fused_attention(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     *,
+    bias: Optional[jax.Array] = None,
     causal: bool = False,
     sm_scale: Optional[float] = None,
     need_weights: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """XLA-fused O(S^2) attention; best below the flash crossover."""
     return attention_reference(
-        q, k, v, mask, causal=causal, sm_scale=sm_scale, need_weights=need_weights
+        q,
+        k,
+        v,
+        mask,
+        bias=bias,
+        causal=causal,
+        sm_scale=sm_scale,
+        need_weights=need_weights,
     )

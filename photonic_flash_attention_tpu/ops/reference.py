@@ -33,6 +33,7 @@ def attention_reference(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     *,
+    bias: Optional[jax.Array] = None,
     causal: bool = False,
     sm_scale: Optional[float] = None,
     need_weights: bool = False,
@@ -45,6 +46,8 @@ def attention_reference(
       v: (B, Skv, Hkv, D)
       mask: optional boolean mask broadcastable to (B, Hq, Sq, Skv);
         True = attend.
+      bias: optional additive score bias broadcastable to (B, Hq, Sq, Skv)
+        (e.g. T5 relative position bias, ALiBi slopes).
       causal: apply causal masking.
       sm_scale: score scale; default 1/sqrt(D).
       need_weights: also return softmax weights (B, Hq, Sq, Skv).
@@ -62,6 +65,8 @@ def attention_reference(
     qf = q.astype(jnp.float32) * _scale(d, sm_scale)
     scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
 
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
