@@ -91,3 +91,7 @@ class SecurityError(PhotonicFlashAttentionError):
 
 class CalibrationError(PhotonicFlashAttentionError):
     """Quantization calibration failed its error budget."""
+
+
+class CheckpointError(PhotonicFlashAttentionError):
+    """Checkpoint save/restore failed or checkpoint is missing/incomplete."""
