@@ -1,13 +1,16 @@
-"""Monitoring: health checks, pressure state machine, metric rings."""
+"""Monitoring: health checks, pressure state machine + controller, metric rings."""
 
 from .health import (
     HealthCheck,
     HealthCheckResult,
     HealthMonitor,
     HealthStatus,
+    PressureController,
     PressureMonitor,
     PressureState,
+    PressureTrend,
     get_health_monitor,
+    pressure_protected,
 )
 
 __all__ = [
@@ -15,7 +18,10 @@ __all__ = [
     "HealthCheckResult",
     "HealthMonitor",
     "HealthStatus",
+    "PressureController",
     "PressureMonitor",
     "PressureState",
+    "PressureTrend",
     "get_health_monitor",
+    "pressure_protected",
 ]

@@ -121,6 +121,142 @@ class PressureMonitor:
             return self.state
 
 
+class PressureTrend:
+    """Trend + time-to-limit prediction over recent pressure samples
+    (reference thermal_monitor.py:428-466's trend / time-to-limit)."""
+
+    def __init__(self, window: int = 64) -> None:
+        self.window = window
+        self._samples: List[tuple] = []  # (t, pressure)
+        self._lock = threading.Lock()
+
+    def record(self, pressure: float, t: Optional[float] = None) -> None:
+        with self._lock:
+            self._samples.append((t if t is not None else time.time(), pressure))
+            if len(self._samples) > self.window:
+                self._samples.pop(0)
+
+    def slope_per_s(self) -> Optional[float]:
+        """Least-squares pressure slope; None with <3 samples."""
+        with self._lock:
+            pts = list(self._samples)
+        if len(pts) < 3:
+            return None
+        t0 = pts[0][0]
+        xs = [t - t0 for t, _ in pts]
+        ys = [p for _, p in pts]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        if denom == 0:
+            return None
+        return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+    def seconds_to(self, threshold: float) -> Optional[float]:
+        """Projected seconds until pressure crosses ``threshold``;
+        None when flat/declining or not enough data."""
+        slope = self.slope_per_s()
+        with self._lock:
+            if not self._samples:
+                return None
+            current = self._samples[-1][1]
+        if current >= threshold:
+            return 0.0
+        if slope is None or slope <= 1e-9:
+            return None
+        return (threshold - current) / slope
+
+
+class PressureController:
+    """State-transition -> action dispatch (reference per-state action
+    lists, thermal_monitor.py:317-427). Actions are callbacks registered
+    per state; the default wiring in :class:`ResilientAttentionWrapper`
+    maps THROTTLING -> precision degradation and EMERGENCY -> load shed.
+    """
+
+    def __init__(self, monitor: Optional[PressureMonitor] = None) -> None:
+        self.monitor = monitor or PressureMonitor()
+        self.trend = PressureTrend()
+        self._actions: Dict[PressureState, List[Callable[[PressureState], None]]] = {}
+        self._lock = threading.Lock()
+        self._transitions: List[tuple] = []
+
+    def on_state(
+        self, state: PressureState, action: Callable[[PressureState], None]
+    ) -> None:
+        with self._lock:
+            self._actions.setdefault(state, []).append(action)
+
+    def update(self, pressure: float) -> PressureState:
+        prev = self.monitor.state
+        state = self.monitor.update(pressure)
+        self.trend.record(pressure)
+        if state != prev:
+            with self._lock:
+                self._transitions.append((time.time(), prev.name, state.name))
+                actions = list(self._actions.get(state, ()))
+            logger.info("pressure %s -> %s (%.2f)", prev.name, state.name, pressure)
+            for fn in actions:
+                try:
+                    fn(state)
+                except Exception:  # noqa: BLE001 - actions must not kill updates
+                    logger.exception("pressure action failed")
+        return state
+
+    def get_status(self) -> Dict:
+        with self._lock:
+            transitions = list(self._transitions[-10:])
+        return {
+            "state": self.monitor.state.name,
+            "slope_per_s": self.trend.slope_per_s(),
+            "seconds_to_critical": self.trend.seconds_to(
+                PressureMonitor.THRESHOLDS[2]
+            ),
+            "recent_transitions": transitions,
+        }
+
+
+def pressure_protected(
+    monitor_or_controller=None,
+    max_state: PressureState = PressureState.CRITICAL,
+    fallback: Optional[Callable] = None,
+):
+    """Gate a callable on the pressure state (reference
+    ``@thermal_protected``, thermal_monitor.py:761+).
+
+    At or above ``max_state`` the wrapped call is refused: the
+    ``fallback`` runs instead when given, otherwise ``HardwareError``
+    raises. Defaults to the global health monitor's pressure state.
+    """
+    import functools
+
+    from ..utils.exceptions import HardwareError
+
+    def state_of() -> PressureState:
+        src = monitor_or_controller
+        if src is None:
+            return get_health_monitor().pressure.state
+        if isinstance(src, PressureController):
+            return src.monitor.state
+        return src.state
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            state = state_of()
+            if state.value >= max_state.value:
+                if fallback is not None:
+                    return fallback(*args, **kwargs)
+                raise HardwareError(
+                    f"call refused: pressure state {state.name} >= {max_state.name}"
+                )
+            return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 class HealthMonitor:
     """Background health loop + alerts (reference health_monitor.py:343-608)."""
 
