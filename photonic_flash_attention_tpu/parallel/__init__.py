@@ -1,7 +1,8 @@
-"""Distribution: mesh construction, ring attention, sharded wrappers."""
+"""Distribution: mesh construction, ring + Ulysses attention, sharded wrappers."""
 
 from .mesh import AXIS_DATA, AXIS_MODEL, AXIS_SEQ, create_mesh
 from .ring import make_ring_attention, ring_attention, softmax_merge
+from .ulysses import make_ulysses_attention, ulysses_attention
 
 __all__ = [
     "AXIS_DATA",
@@ -9,6 +10,8 @@ __all__ = [
     "AXIS_SEQ",
     "create_mesh",
     "make_ring_attention",
+    "make_ulysses_attention",
     "ring_attention",
     "softmax_merge",
+    "ulysses_attention",
 ]
