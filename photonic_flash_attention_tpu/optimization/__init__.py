@@ -3,6 +3,7 @@
 from .caching import (
     CacheStats,
     CompileCacheManager,
+    MultiLevelCacheManager,
     ResultCache,
     cache_key,
     cached_computation,
@@ -17,6 +18,7 @@ __all__ = [
     "AdaptiveOptimizer",
     "CacheStats",
     "CompileCacheManager",
+    "MultiLevelCacheManager",
     "ResultCache",
     "WorkloadProfiler",
     "cache_key",

@@ -203,3 +203,133 @@ class CompileCacheManager:
             "entries": n,
             "bytes": size,
         }
+
+
+class MultiLevelCacheManager:
+    """L1/L2/L3 cache hierarchy with promotion (reference
+    optimization/advanced_caching.py:673-752).
+
+    * L1: small, LRU — hot working set.
+    * L2: medium, LRU — recently useful.
+    * L3: large, LFU with transparent zlib compression of pickled
+      values — long-tail artifacts (tuned profiles, calibration sweeps,
+      rendered reports).
+
+    Entries enter at L2; an entry promotes one level after
+    ``promotion_threshold`` hits at its current level (the reference
+    promotes after 3 accesses); L1/L2 evictions demote one level instead
+    of dropping.
+    """
+
+    PROMOTION_THRESHOLD = 3
+
+    def __init__(
+        self,
+        l1_capacity: int = 64,
+        l2_capacity: int = 256,
+        l3_capacity: int = 1024,
+        compress_l3: bool = True,
+    ) -> None:
+        self.l1 = ResultCache(l1_capacity, policy="lru")
+        self.l2 = ResultCache(l2_capacity, policy="lru")
+        self.l3 = ResultCache(l3_capacity, policy="lfu")
+        self.compress_l3 = compress_l3
+        self._hits_at_level: Dict[Any, int] = {}
+        self._lock = threading.RLock()
+        self.stats = CacheStats()
+
+    # -- L3 payload codec ---------------------------------------------------
+
+    def _pack(self, value: Any) -> Any:
+        if not self.compress_l3:
+            return value
+        import pickle
+        import zlib
+
+        try:
+            return ("z", zlib.compress(pickle.dumps(value), level=1))
+        except Exception:  # noqa: BLE001 - unpicklable values stay raw
+            return value
+
+    def _unpack(self, value: Any) -> Any:
+        if (
+            isinstance(value, tuple)
+            and len(value) == 2
+            and value[0] == "z"
+            and isinstance(value[1], bytes)
+        ):
+            import pickle
+            import zlib
+
+            return pickle.loads(zlib.decompress(value[1]))
+        return value
+
+    # -- public surface -----------------------------------------------------
+
+    def get(self, key: Any, default: Any = None) -> Any:
+        sentinel = object()
+        with self._lock:
+            for level, cache in ((1, self.l1), (2, self.l2), (3, self.l3)):
+                hit = cache.get(key, sentinel)
+                if hit is sentinel:
+                    continue
+                self.stats.hits += 1
+                value = self._unpack(hit) if level == 3 else hit
+                n = self._hits_at_level.get(key, 0) + 1
+                if n >= self.PROMOTION_THRESHOLD and level > 1:
+                    self._move(key, value, level, level - 1)
+                    self._hits_at_level[key] = 0
+                else:
+                    self._hits_at_level[key] = n
+                return value
+            self.stats.misses += 1
+            return default
+
+    def put(self, key: Any, value: Any) -> None:
+        with self._lock:
+            self._demote_overflow(self.l2, 2)
+            self.l2.put(key, value)
+            self._hits_at_level[key] = 0
+
+    def _move(self, key: Any, value: Any, src_level: int, dst_level: int) -> None:
+        src = (None, self.l1, self.l2, self.l3)[src_level]
+        dst = (None, self.l1, self.l2, self.l3)[dst_level]
+        with src._lock:
+            src._data.pop(key, None)
+            src._freq.pop(key, None)
+        self._demote_overflow(dst, dst_level)
+        dst.put(key, self._pack(value) if dst is self.l3 else value)
+
+    def _demote_overflow(self, cache: ResultCache, level: int) -> None:
+        """Before inserting into a full L1/L2, demote its victim downward
+        instead of letting ResultCache drop it."""
+        if cache is self.l3:
+            return
+        with cache._lock:
+            if len(cache._data) < cache.capacity:
+                return
+            victim = next(iter(cache._data))
+            value, _ = cache._data.pop(victim)
+            cache._freq.pop(victim, None)
+            cache.stats.evictions += 1
+        self._move_down(victim, value, level)
+
+    def _move_down(self, key: Any, value: Any, from_level: int) -> None:
+        dst = self.l2 if from_level == 1 else self.l3
+        self._demote_overflow(dst, from_level + 1)
+        dst.put(key, self._pack(value) if dst is self.l3 else value)
+        self._hits_at_level[key] = 0
+
+    def clear(self) -> None:
+        with self._lock:
+            for c in (self.l1, self.l2, self.l3):
+                c.clear()
+            self._hits_at_level.clear()
+
+    def get_stats(self) -> Dict:
+        return {
+            "overall": self.stats.as_dict(),
+            "l1": {"entries": len(self.l1), **self.l1.stats.as_dict()},
+            "l2": {"entries": len(self.l2), **self.l2.stats.as_dict()},
+            "l3": {"entries": len(self.l3), **self.l3.stats.as_dict()},
+        }

@@ -165,3 +165,53 @@ class TestAdaptiveLearning:
         eng.make_decision(wc())
         s = eng.get_stats()
         assert "bandit" in s and "patterns" in s
+
+
+class TestMultiLevelCache:
+    def test_entry_starts_in_l2_and_promotes(self):
+        from photonic_flash_attention_tpu.optimization.caching import (
+            MultiLevelCacheManager,
+        )
+
+        m = MultiLevelCacheManager()
+        m.put("k", 42)
+        assert len(m.l2) == 1 and len(m.l1) == 0
+        for _ in range(3):  # promotion threshold
+            assert m.get("k") == 42
+        assert len(m.l1) == 1 and len(m.l2) == 0
+
+    def test_l2_eviction_demotes_to_l3(self):
+        from photonic_flash_attention_tpu.optimization.caching import (
+            MultiLevelCacheManager,
+        )
+
+        m = MultiLevelCacheManager(l2_capacity=2)
+        m.put("a", 1)
+        m.put("b", 2)
+        m.put("c", 3)  # evicts "a" from L2 -> demoted into L3
+        assert m.get("a") == 1  # still retrievable (from L3)
+        assert len(m.l3) >= 1
+
+    def test_l3_compression_roundtrip(self):
+        from photonic_flash_attention_tpu.optimization.caching import (
+            MultiLevelCacheManager,
+        )
+
+        m = MultiLevelCacheManager(l2_capacity=1, compress_l3=True)
+        payload = {"big": list(range(1000))}
+        m.put("x", payload)
+        m.put("y", 0)  # demote x to L3 (compressed)
+        assert m.get("x") == payload
+
+    def test_miss_and_stats(self):
+        from photonic_flash_attention_tpu.optimization.caching import (
+            MultiLevelCacheManager,
+        )
+
+        m = MultiLevelCacheManager()
+        assert m.get("nope", "default") == "default"
+        m.put("k", 1)
+        m.get("k")
+        s = m.get_stats()
+        assert s["overall"]["hits"] == 1 and s["overall"]["misses"] == 1
+        assert s["l2"]["entries"] == 1
