@@ -1,4 +1,4 @@
-"""Hardware: device detection + roofline cost model."""
+"""Hardware: device detection, roofline cost model, design-space simulators."""
 
 from .detection import (
     TPUCapabilities,
@@ -15,11 +15,21 @@ from .roofline import (
     ring_attention_step_cost,
     roofline_fraction,
 )
+from .simulator import (
+    CollectiveCost,
+    KernelPipelineSimulator,
+    PipelinePrediction,
+    TopologySimulator,
+)
 
 __all__ = [
+    "CollectiveCost",
     "KernelCost",
+    "KernelPipelineSimulator",
+    "PipelinePrediction",
     "TPUCapabilities",
     "TPUDevice",
+    "TopologySimulator",
     "attention_decode_cost",
     "attention_prefill_cost",
     "detect_tpu_hardware",
