@@ -1,5 +1,7 @@
-"""Monitoring: health checks, pressure state machine + controller, metric rings."""
+"""Monitoring: health checks, pressure state machine + controller, metric
+rings, HTTP metrics/dashboard endpoint."""
 
+from .dashboard import MetricsServer, collect_metrics, render_prometheus
 from .health import (
     HealthCheck,
     HealthCheckResult,
@@ -18,10 +20,13 @@ __all__ = [
     "HealthCheckResult",
     "HealthMonitor",
     "HealthStatus",
+    "MetricsServer",
     "PressureController",
     "PressureMonitor",
     "PressureState",
     "PressureTrend",
+    "collect_metrics",
     "get_health_monitor",
     "pressure_protected",
+    "render_prometheus",
 ]

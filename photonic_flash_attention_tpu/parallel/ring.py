@@ -89,14 +89,16 @@ def ring_attention(
     )
 
     def full_body(q, kb, vb):
-        return flash(q, kb, vb, causal=False)
+        o, lse = flash(q, kb, vb, causal=False)
+        return o.astype(jnp.float32), lse
 
     def diag_body(q, kb, vb):
-        return flash(q, kb, vb, causal=True)
+        o, lse = flash(q, kb, vb, causal=True)
+        return o.astype(jnp.float32), lse
 
     def skip_body(q, kb, vb):
         return (
-            jnp.zeros_like(q),
+            jnp.zeros(q.shape, jnp.float32),
             jnp.full((b, h, s_local), -jnp.inf, jnp.float32),
         )
 
@@ -114,6 +116,9 @@ def ring_attention(
             )
         else:
             o_i, lse_i = full_body(q, kb, vb)
+        # Merge in fp32: the loop carry must keep one dtype, and fp32
+        # accumulation across ring steps is the numerically right choice
+        # for bf16 inputs anyway (bodies upcast their partials).
         o, lse = softmax_merge(o, lse, o_i, lse_i)
         # Rotate KV around the ring (skipped on the final step).
         kb, vb = jax.lax.cond(
@@ -127,10 +132,10 @@ def ring_attention(
         )
         return o, lse, kb, vb
 
-    o0 = jnp.zeros_like(q)
+    o0 = jnp.zeros(q.shape, jnp.float32)
     lse0 = jnp.full((b, h, s_local), -jnp.inf, jnp.float32)
     o, lse, _, _ = jax.lax.fori_loop(0, n, step_fn, (o0, lse0, k, v))
-    return o
+    return o.astype(q.dtype)
 
 
 def make_ring_attention(

@@ -89,3 +89,17 @@ class TestRing2D:
         out = fn(q, k, v)
         ref, _ = attention_reference(q, k, v, causal=True)
         assert_close(out, ref)
+
+
+class TestRingDtypes:
+    def test_bf16_inputs(self, rng):
+        """Regression: bf16 inputs must not break the fori_loop carry
+        (the merge accumulates in fp32; output returns in bf16)."""
+        q, k, v = make_qkv(rng, s=256)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        mesh = create_mesh((4,), ("seq",), jax.devices()[:4])
+        fn = make_ring_attention(mesh, data_axis=None, model_axis=None, causal=True)
+        out = fn(q, k, v)
+        assert out.dtype == jnp.bfloat16
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref)
