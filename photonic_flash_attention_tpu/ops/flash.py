@@ -154,8 +154,8 @@ def _flash_fwd_kernel(
 
 
 def _flash_fwd(
-    q: jax.Array,  # [B, H, Sq, D] padded
-    k: jax.Array,  # [B, H, Skv, D] padded
+    q: jax.Array,  # [B, Hq, Sq, D] padded
+    k: jax.Array,  # [B, Hkv, Skv, D] padded (native GQA: Hkv may < Hq)
     v: jax.Array,
     *,
     sm_scale: float,
@@ -166,6 +166,7 @@ def _flash_fwd(
     block_kv: int,
     interpret: bool,
     save_residuals: bool,
+    group: int = 1,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -212,8 +213,18 @@ def _flash_fwd(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+            # GQA natively: each group of q heads reads the SAME kv head
+            # tile (index h // group) — no repeated KV in HBM; Mosaic's
+            # revisiting-aware pipeline skips the re-fetch when the index
+            # map returns the same block.
+            pl.BlockSpec(
+                (1, 1, block_kv, d),
+                lambda b_, h_, qi, ki: (b_, h_ // group, ki, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv, d),
+                lambda b_, h_, qi, ki: (b_, h_ // group, ki, 0),
+            ),
         ],
         out_specs=tuple(out_specs) if save_residuals else out_specs[0],
         out_shape=tuple(out_shape) if save_residuals else out_shape[0],
@@ -341,6 +352,7 @@ def _flash_core_fwd_impl(
 ):
     b, h, sq, d = q.shape
     skv = k.shape[2]
+    hkv = k.shape[1]
     # Pad seq dims to block multiples; head_dim per _pad_head_dim.
     sq_p = round_up(sq, block_q)
     skv_p = round_up(skv, block_kv)
@@ -360,6 +372,7 @@ def _flash_core_fwd_impl(
         block_kv=block_kv,
         interpret=interpret,
         save_residuals=save_residuals,
+        group=h // hkv,
     )
     return o[:, :, :sq, :d], (lse[:, :, :sq] if lse is not None else None)
 
@@ -374,10 +387,18 @@ def _flash_core_fwd(q, k, v, sm_scale, causal, block_q, block_kv, interpret):
 
 def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, residuals, do):
     q, k, v, o, lse = residuals
+    b, h, _, d = q.shape
+    hkv = k.shape[1]
+    group = h // hkv
     skv = k.shape[2]
     skv_p = round_up(skv, block_kv)
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    if group > 1:
+        # The grad path materializes repeated KV (training only); the
+        # primal/inference path never does (native GQA index maps).
+        kp = jnp.repeat(kp, group, axis=1)
+        vp = jnp.repeat(vp, group, axis=1)
     dq, dk, dv = _flash_bwd(
         q,
         kp,
@@ -391,7 +412,12 @@ def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, residuals, d
         kv_true_len=skv,
         block_kv=block_kv,
     )
-    return dq, dk[:, :, :skv], dv[:, :, :skv]
+    dk = dk[:, :, :skv]
+    dv = dv[:, :, :skv]
+    if group > 1:
+        dk = dk.reshape(b, hkv, group, skv, d).sum(2)
+        dv = dv.reshape(b, hkv, group, skv, d).sum(2)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _flash_attention_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -423,10 +449,8 @@ def flash_attention(
     """
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
-    if hq != hkv:
-        group = hq // hkv
-        k = jnp.repeat(k, group, axis=2)
-        v = jnp.repeat(v, group, axis=2)
+    if hq % hkv:
+        raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
 
     scale = sm_scale if sm_scale is not None else d ** -0.5
     # Measured sweet spot on v5e (flash_tune sweeps): 512 x 1024.
@@ -461,10 +485,8 @@ def flash_attention_with_lse(
     """
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
-    if hq != hkv:
-        group = hq // hkv
-        k = jnp.repeat(k, group, axis=2)
-        v = jnp.repeat(v, group, axis=2)
+    if hq % hkv:
+        raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
     scale = sm_scale if sm_scale is not None else d ** -0.5
     bq = block_q or _choose_block(sq, 512)
     bkv = block_kv or _choose_block(skv, 1024)

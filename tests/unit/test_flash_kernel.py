@@ -166,3 +166,32 @@ class TestFlashGradients:
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for gf, gr, name in zip(g_flash, g_ref, "qkv"):
             assert_close(gf, gr, err_msg=f"d{name} mismatch")
+
+
+class TestGQAGradients:
+    def test_gqa_grads_match_reference(self, rng):
+        """Native-GQA primal + group-reduced dK/dV must match autodiff
+        through the repeated-head oracle."""
+        import jax
+
+        from photonic_flash_attention_tpu.ops.reference import attention_reference
+
+        q = jnp.asarray(rng.standard_normal((1, 256, 8, 32)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 256, 2, 32)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 256, 2, 32)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(
+                flash_attention(
+                    q, k, v, causal=True, block_q=128, block_kv=128
+                ) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, causal=True)[0] ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, ("dq", "dk", "dv")):
+            assert a.shape == b.shape, name
+            assert_close(a, b, err_msg=name)
