@@ -177,6 +177,10 @@ def convert_to_photonic(
         from .t5 import transfer_hf_t5
 
         flax_model, variables, _ = transfer_hf_t5(model, config.dtype)
+    elif family == "llama":
+        from .llama import transfer_hf_llama
+
+        flax_model, variables, _ = transfer_hf_llama(model, config.dtype)
     else:
         raise ConfigurationError(
             f"unsupported model family {family!r} "

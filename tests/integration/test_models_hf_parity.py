@@ -254,3 +254,96 @@ class TestConvertFamilies:
         )
         assert report.model_family == "t5"
         assert report.conversion_rate == 1.0
+
+
+def _llama_pair():
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM as HFLlama
+
+    from photonic_flash_attention_tpu.models.llama import transfer_hf_llama
+
+    torch.manual_seed(0)
+    hf = HFLlama(
+        HFLlamaConfig(
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,  # GQA
+            max_position_embeddings=64,
+        )
+    ).eval()
+    model, variables, cfg = transfer_hf_llama(hf, dtype=jnp.float32)
+    return hf, model, variables, cfg
+
+
+class TestLlamaParity:
+    def test_logits_match_hf(self, rng):
+        hf, model, variables, cfg = _llama_pair()
+        assert cfg.num_key_value_heads == 2
+        ids = rng.integers(0, 128, (2, 24))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits.numpy()
+        out = model.apply(variables, jnp.asarray(ids, jnp.int32))
+        assert rel_err_norm(out, ref) < 1e-4
+
+    def test_causality(self, rng):
+        _, model, variables, cfg = _llama_pair()
+        a = rng.integers(0, 128, (1, 16))
+        b = a.copy()
+        b[:, 12:] = (b[:, 12:] + 1) % 128
+        out_a = model.apply(variables, jnp.asarray(a, jnp.int32))
+        out_b = model.apply(variables, jnp.asarray(b, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(out_a[:, :12]), np.asarray(out_b[:, :12]), atol=1e-5
+        )
+
+    def test_jit_tiny_init(self, rng):
+        from photonic_flash_attention_tpu.models.llama import (
+            LlamaConfig,
+            LlamaForCausalLM,
+        )
+
+        cfg = LlamaConfig.tiny()
+        model = LlamaForCausalLM(
+            LlamaConfig(**{**cfg.__dict__, "dtype": jnp.float32})
+        )
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32)), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), ids)
+        logits = jax.jit(lambda v, i: model.apply(v, i))(variables, ids)
+        assert logits.shape == (2, 32, cfg.vocab_size)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_convert_family(self):
+        from photonic_flash_attention_tpu.models.convert import (
+            PhotonicConfig,
+            convert_to_photonic,
+        )
+
+        hf, _, _, _ = _llama_pair()
+        model, variables, report = convert_to_photonic(
+            hf, PhotonicConfig(dtype=jnp.float32)
+        )
+        assert report.model_family == "llama"
+        assert report.conversion_rate == 1.0
+
+    def test_sharding_rules_cover_tree(self):
+        from photonic_flash_attention_tpu.models.llama import (
+            llama_param_sharding_rules,
+        )
+
+        _, model, variables, cfg = _llama_pair()
+        specs = llama_param_sharding_rules(variables["params"])
+        import jax as _jax
+
+        flat_p = _jax.tree_util.tree_leaves(variables["params"])
+        flat_s = _jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: isinstance(x, type(specs))
+        )
+        # every param leaf has a spec (tree structures align)
+        _jax.tree_util.tree_map(
+            lambda p, s: None, variables["params"], specs,
+            is_leaf=lambda x: hasattr(x, "shape") or x is None,
+        )
+        assert len(flat_p) > 0
