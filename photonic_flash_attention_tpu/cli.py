@@ -164,6 +164,91 @@ def calibrate(args: argparse.Namespace) -> int:
     return 0 if all(m["passes_reference_gate"] for m in report["modes"].values()) else 1
 
 
+def serve_bench(args: argparse.Namespace) -> int:
+    """Continuous-batching decode benchmark: GPT-2 + paged KV cache.
+
+    The BASELINE "INT8 paged KV-cache decode with continuous batching"
+    config: measures prefill admission and steady-state decode
+    throughput on one chip, bf16 vs int8 KV.
+    """
+    from .core.serving import ServingEngine
+    from .models.gpt2 import GPT2Config, GPT2LMHead
+
+    cfg = {
+        "tiny": GPT2Config.tiny,
+        "small": GPT2Config.small,
+        "medium": GPT2Config.medium,
+    }[args.model]()
+    model = GPT2LMHead(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    shapes = jax.eval_shape(lambda r: model.init(r, ids), jax.random.PRNGKey(0))
+    # Zero params: decode cost is weight-content independent.
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )
+
+    rng = np.random.default_rng(0)
+    report: Dict[str, Any] = {"model": args.model, "config": vars(args), "modes": {}}
+    for mode, kv_dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
+        if args.kv_dtype not in ("both", mode):
+            continue
+        eng = ServingEngine(
+            cfg,
+            variables["params"],
+            kv_dtype=kv_dtype,
+            max_batch=args.batch,
+            num_pages=args.num_pages,
+            page_size=16,
+        )
+        prompts = [
+            [int(t) for t in rng.integers(0, cfg.vocab_size, args.prompt_len)]
+            for _ in range(args.batch)
+        ]
+        for p in prompts:
+            eng.submit(p, args.new_tokens)
+        # Step 1 performs admission + all prefills.
+        t0 = time.perf_counter()
+        eng.step()
+        t_prefill = time.perf_counter() - t0
+        # Steady-state decode.
+        steps = 0
+        t0 = time.perf_counter()
+        while eng.step() > 0:
+            steps += 1
+        t_decode = time.perf_counter() - t0
+        decoded = args.batch * args.new_tokens
+        row = {
+            "prefill_s": round(t_prefill, 4),
+            "decode_steps": steps,
+            "decode_s": round(t_decode, 4),
+            "decode_tokens_per_s": round(decoded / max(t_decode, 1e-9), 1),
+            "decode_ms_per_step": round(t_decode / max(steps, 1) * 1e3, 3),
+            **eng.get_performance_stats(),
+        }
+        report["modes"][mode] = row
+        print(
+            f"{mode}: prefill {t_prefill*1e3:8.1f} ms   decode "
+            f"{row['decode_ms_per_step']:7.2f} ms/step   "
+            f"{row['decode_tokens_per_s']:>10,.0f} tok/s"
+        )
+    if (
+        args.kv_dtype == "both"
+        and "bf16" in report["modes"]
+        and "int8" in report["modes"]
+    ):
+        sp = (
+            report["modes"]["bf16"]["decode_ms_per_step"]
+            / max(report["modes"]["int8"]["decode_ms_per_step"], 1e-9)
+        )
+        report["int8_decode_speedup"] = round(sp, 3)
+        print(f"int8 KV decode speedup: {sp:.2f}x")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=1, default=str)
+        print(f"wrote {args.output}")
+    return 0
+
+
 def device_info(args: argparse.Namespace) -> int:
     """TPU device report (reference cli.py:306-363)."""
     from .utils.monitoring import device_memory_stats
@@ -226,6 +311,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     c.add_argument("--seed", type=int, default=0)
     c.add_argument("--output", "-o", default=None)
     c.set_defaults(fn=calibrate)
+
+    s = sub.add_parser("serve-bench", help="paged-KV decode benchmark")
+    s.add_argument("--model", choices=("tiny", "small", "medium"), default="small")
+    s.add_argument("--batch", type=int, default=8)
+    s.add_argument("--prompt-len", type=int, default=128)
+    s.add_argument("--new-tokens", type=int, default=64)
+    s.add_argument("--num-pages", type=int, default=1024)
+    s.add_argument("--kv-dtype", choices=("bf16", "int8", "both"), default="both")
+    s.add_argument("--output", "-o", default=None)
+    s.set_defaults(fn=serve_bench)
 
     d = sub.add_parser("device-info", help="device / memory report")
     d.add_argument("--json", action="store_true")
