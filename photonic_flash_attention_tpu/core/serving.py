@@ -319,6 +319,150 @@ class ServingEngine:
                 raise KVCacheError("scheduler stalled: not enough pages")
         return [self._sequences[s].tokens[self._sequences[s].prompt_len :] for s in sids]
 
+    # -- checkpoint / resume -------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist the engine mid-generation (SURVEY.md §5.4's missing
+        checkpoint surface, made real for serving): KV page arrays +
+        every sequence's host state. A preempted process restores with
+        :meth:`restore` and continues decoding where it stopped.
+        """
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        leaves = jax.tree_util.tree_leaves(self.pages_tree)
+
+        def to_np(x):
+            a = np.asarray(x)
+            if a.dtype == jnp.bfloat16:
+                a = a.view(np.uint16)
+            return a
+
+        arrays = {f"leaf_{i}": to_np(leaf) for i, leaf in enumerate(leaves)}
+        tmp = os.path.join(path, "pages.npz.tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, os.path.join(path, "pages.npz"))
+
+        host = {
+            "version": 1,
+            "ctor": {
+                "num_pages": self.num_pages,
+                "page_size": self.page_size,
+                "max_batch": self.max_batch,
+                "max_pages_per_seq": self.max_pages_per_seq,
+                "kv_dtype": "int8" if self.quantized else "bf16",
+                "eos_token_id": self.eos_token_id,
+            },
+            "next_id": self._next_id,
+            "waiting": list(self._waiting),
+            "slots": list(self._slots),
+            "stats": {
+                "prefill_tokens": self._prefill_tokens,
+                "decode_tokens": self._decode_tokens,
+                "prefill_time": self._prefill_time,
+                "decode_time": self._decode_time,
+                "steps": self._steps,
+            },
+            "sequences": {
+                str(sid): {
+                    "tokens": seq.tokens,
+                    "prompt_len": seq.prompt_len,
+                    "max_new_tokens": seq.max_new_tokens,
+                    "page_ids": seq.page_ids,
+                    "slot": seq.slot,
+                    "done": seq.done,
+                }
+                for sid, seq in self._sequences.items()
+            },
+        }
+        tmp = os.path.join(path, "state.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(host, f)
+        os.replace(tmp, os.path.join(path, "state.json"))
+        logger.info("saved serving state (%d seqs) -> %s", len(host["sequences"]), path)
+
+    @classmethod
+    def restore(cls, path: str, cfg: GPT2Config, params: Dict) -> "ServingEngine":
+        """Rebuild a mid-generation engine saved by :meth:`save`.
+
+        Page bookkeeping resumes on the Python allocator with the saved
+        page assignments (the native allocator's internal state is not
+        serialized; its interface contract makes the Python rebuild
+        exact).
+        """
+        import json
+        import os
+
+        with open(os.path.join(path, "state.json")) as f:
+            host = json.load(f)
+        ctor = host["ctor"]
+        eng = cls(
+            cfg,
+            params,
+            num_pages=ctor["num_pages"],
+            page_size=ctor["page_size"],
+            max_batch=ctor["max_batch"],
+            max_pages_per_seq=ctor["max_pages_per_seq"],
+            kv_dtype=jnp.int8 if ctor["kv_dtype"] == "int8" else jnp.bfloat16,
+            eos_token_id=ctor["eos_token_id"],
+        )
+
+        data = np.load(os.path.join(path, "pages.npz"))
+        fresh_leaves, treedef = jax.tree_util.tree_flatten(eng.pages_tree)
+
+        def from_np(a, like):
+            if like.dtype == jnp.bfloat16:
+                a = a.view(jnp.bfloat16)
+            return jnp.asarray(a, like.dtype)
+
+        leaves = [
+            from_np(data[f"leaf_{i}"], fresh)
+            for i, fresh in enumerate(fresh_leaves)
+        ]
+        eng.pages_tree = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        eng._next_id = host["next_id"]
+        eng._waiting = list(host["waiting"])
+        eng._slots = list(host["slots"])
+        st = host["stats"]
+        eng._prefill_tokens = st["prefill_tokens"]
+        eng._decode_tokens = st["decode_tokens"]
+        eng._prefill_time = st["prefill_time"]
+        eng._decode_time = st["decode_time"]
+        eng._steps = st["steps"]
+
+        # Rebuild sequences + allocator assignments on the Python allocator.
+        alloc = _PyPageAllocator(
+            eng.num_pages, eng.page_size, eng.max_pages_per_seq
+        )
+        used = set()
+        for sid_str, rec in host["sequences"].items():
+            sid = int(sid_str)
+            seq = _Sequence(
+                seq_id=sid,
+                tokens=list(rec["tokens"]),
+                prompt_len=rec["prompt_len"],
+                max_new_tokens=rec["max_new_tokens"],
+                page_ids=list(rec["page_ids"]),
+                slot=rec["slot"],
+                done=rec["done"],
+            )
+            eng._sequences[sid] = seq
+            if seq.page_ids:
+                aid = alloc.allocate_sequence(0)
+                alloc._pages[aid] = list(seq.page_ids)
+                seq.alloc_id = aid
+                used.update(seq.page_ids)
+        alloc._free = [p for p in range(eng.num_pages - 1, 0, -1) if p not in used]
+        eng._alloc = alloc
+        logger.info(
+            "restored serving state (%d seqs, %d pages used) from %s",
+            len(eng._sequences), len(used), path,
+        )
+        return eng
+
     # -- stats ---------------------------------------------------------------
 
     def status(self) -> Dict:

@@ -106,3 +106,48 @@ class TestServingCorrectness:
         assert s["decode_tokens"] > 0
         assert s["prefill_tokens"] == 5
         assert s["decode_tokens_per_s"] > 0
+
+
+class TestServingCheckpoint:
+    def test_mid_generation_save_resume(self, tiny_model, tmp_path, rng):
+        """Stop an engine mid-generation, restore, finish: outputs must
+        equal an uninterrupted run exactly (greedy decoding)."""
+        cfg, model, variables = tiny_model
+        params = variables["params"]
+        prompts = [
+            [int(t) for t in rng.integers(0, cfg.vocab_size, 12)] for _ in range(3)
+        ]
+
+        # Uninterrupted reference run.
+        ref_eng = ServingEngine(
+            cfg, params, num_pages=64, page_size=8, max_batch=4
+        )
+        expected = ref_eng.generate(prompts, max_new_tokens=10)
+
+        # Interrupted run: stop after 4 steps, save, restore, finish.
+        eng = ServingEngine(cfg, params, num_pages=64, page_size=8, max_batch=4)
+        sids = [eng.submit(p, 10) for p in prompts]
+        for _ in range(4):
+            eng.step()
+        eng.save(str(tmp_path / "ckpt"))
+
+        eng2 = ServingEngine.restore(str(tmp_path / "ckpt"), cfg, params)
+        while any(not eng2._sequences[s].done for s in sids):
+            assert eng2.step() > 0
+        got = [
+            eng2._sequences[s].tokens[eng2._sequences[s].prompt_len :] for s in sids
+        ]
+        assert got == expected
+
+    def test_restore_preserves_page_accounting(self, tiny_model, tmp_path, rng):
+        cfg, model, variables = tiny_model
+        params = variables["params"]
+        eng = ServingEngine(cfg, params, num_pages=64, page_size=8, max_batch=2)
+        eng.submit([1, 2, 3, 4], 6)
+        eng.step()
+        before = eng.status()
+        eng.save(str(tmp_path / "ckpt"))
+        eng2 = ServingEngine.restore(str(tmp_path / "ckpt"), cfg, params)
+        after = eng2.status()
+        assert after["pages_free"] == before["pages_free"]
+        assert after["active"] == before["active"]
