@@ -33,6 +33,38 @@ from ..models.gpt2_serving import KVPages, _pages_to_scan_tree, decode_step, pre
 from ..utils.exceptions import KVCacheError
 from ..utils.logging import get_logger
 
+
+def _model_adapter(cfg):
+    """Map a model config to its (create_pages, prefill, decode) triple.
+
+    The engine's scheduler is family-agnostic; only the compiled step
+    functions differ (GPT-2: LayerNorm+learned positions; Llama:
+    RMSNorm+RoPE+GQA pages)."""
+    if isinstance(cfg, GPT2Config):
+        return (
+            lambda num_pages, page_size, dtype: _pages_to_scan_tree(
+                KVPages.create(cfg, num_pages, page_size, dtype)
+            ),
+            prefill_step,
+            decode_step,
+        )
+    from ..models.llama import LlamaConfig
+    from ..models.llama_serving import (
+        create_llama_pages,
+        llama_decode_step,
+        llama_prefill_step,
+    )
+
+    if isinstance(cfg, LlamaConfig):
+        return (
+            lambda num_pages, page_size, dtype: create_llama_pages(
+                cfg, num_pages, page_size, dtype
+            ),
+            llama_prefill_step,
+            llama_decode_step,
+        )
+    raise TypeError(f"no serving adapter for config type {type(cfg).__name__}")
+
 logger = get_logger("serving")
 
 _TRASH_PAGE = 0  # page 0 is never allocated; padded/inactive writes land here
@@ -119,11 +151,11 @@ class _Sequence:
 
 
 class ServingEngine:
-    """Single-host continuous batching for GPT-2-family models."""
+    """Single-host continuous batching (GPT-2 and Llama families)."""
 
     def __init__(
         self,
-        cfg: GPT2Config,
+        cfg,
         params: Dict,
         *,
         num_pages: int = 512,
@@ -142,9 +174,8 @@ class ServingEngine:
         self.quantized = kv_dtype == jnp.int8
         self.eos_token_id = eos_token_id
 
-        self.pages_tree = _pages_to_scan_tree(
-            KVPages.create(cfg, num_pages, page_size, kv_dtype)
-        )
+        create_pages, self._prefill_step, self._decode_step = _model_adapter(cfg)
+        self.pages_tree = create_pages(num_pages, page_size, kv_dtype)
         # Page bookkeeping: native C++ allocator when available.
         self._alloc = _make_allocator(num_pages, page_size, max_pages_per_seq)
         self._slots: List[Optional[int]] = [None] * max_batch  # slot -> seq_id
@@ -214,7 +245,7 @@ class ServingEngine:
         for i in range(seq.prompt_len):
             slots[0, i] = self._flat_slot(seq, i)
         t0 = time.perf_counter()
-        logits, self.pages_tree = prefill_step(
+        logits, self.pages_tree = self._prefill_step(
             self.params,
             self.cfg,
             jnp.asarray(ids),
@@ -281,7 +312,7 @@ class ServingEngine:
             tables[slot, : len(seq.page_ids)] = seq.page_ids
 
         t0 = time.perf_counter()
-        logits, self.pages_tree = decode_step(
+        logits, self.pages_tree = self._decode_step(
             self.params,
             self.cfg,
             jnp.asarray(ids),
@@ -384,7 +415,7 @@ class ServingEngine:
         logger.info("saved serving state (%d seqs) -> %s", len(host["sequences"]), path)
 
     @classmethod
-    def restore(cls, path: str, cfg: GPT2Config, params: Dict) -> "ServingEngine":
+    def restore(cls, path: str, cfg, params: Dict) -> "ServingEngine":
         """Rebuild a mid-generation engine saved by :meth:`save`.
 
         Page bookkeeping resumes on the Python allocator with the saved

@@ -1,0 +1,175 @@
+"""Functional Llama serving path: paged-KV prefill + decode steps.
+
+The Llama counterpart of :mod:`.gpt2_serving` — same cache layout and
+step structure, with the family's architectural differences:
+
+* RMSNorm (no bias), bias-free projections, SwiGLU MLP,
+* rotary position embeddings applied to q/k inside the step (positions
+  come from the scheduler, so decode steps rotate by the token's true
+  absolute position),
+* **GQA-sized page pool**: cache arrays carry ``num_key_value_heads``
+  (not ``num_attention_heads``) — the KV memory saving GQA exists for —
+  and the paged-attention read broadcasts query-head groups natively.
+
+Cache layout: k/v (L, Hkv, num_pages, page_size, D); optional per-token
+INT8 scales. Host-side page tables live in the serving engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.flash import flash_attention
+from ..ops.paged import paged_attention_xla
+from .gpt2_serving import _write_tokens
+from .llama import LlamaConfig, apply_rope, rope_cos_sin
+
+
+def _rms_norm(x, scale, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * scale).astype(x.dtype)
+
+
+def _dense(x, kernel):
+    return jnp.dot(x, kernel.astype(x.dtype))
+
+
+def create_llama_pages(
+    cfg: LlamaConfig, num_pages: int, page_size: int, dtype=jnp.bfloat16
+) -> Dict[str, jax.Array]:
+    """Page pool scan-tree for Llama (Hkv heads)."""
+    shape = (
+        cfg.num_hidden_layers,
+        cfg.num_key_value_heads,
+        num_pages,
+        page_size,
+        cfg.head_dim,
+    )
+    quant = dtype == jnp.int8
+    sshape = shape[:-1]
+    dummy = jnp.zeros((cfg.num_hidden_layers, 1, 1, 1), jnp.float32)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "ks": jnp.ones(sshape, jnp.float32) if quant else dummy,
+        "vs": jnp.ones(sshape, jnp.float32) if quant else dummy,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized"))
+def llama_prefill_step(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    input_ids: jax.Array,  # (B, S) right-padded
+    prompt_lengths: jax.Array,  # (B,)
+    pages_tree: Dict[str, jax.Array],
+    flat_slots: jax.Array,  # (B, S) int32 flat page slots
+    quantized: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Prompt forward + cache fill. Returns (last-token logits, pages)."""
+    b, s = input_ids.shape
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    cos, sin = rope_cos_sin(positions, d, cfg.rope_theta)
+    x = params["embed_tokens"].astype(cfg.dtype)[input_ids]
+    blk = params["layers"]["layer"]
+
+    def layer(carry, xs):
+        x = carry
+        p_l, cache_l = xs
+        h_in = _rms_norm(x, p_l["input_ln"]["scale"], eps)
+        a = p_l["attn"]
+        q = _dense(h_in, a["q_proj"]["kernel"]).reshape(b, s, hq, d)
+        k = _dense(h_in, a["k_proj"]["kernel"]).reshape(b, s, hkv, d)
+        v = _dense(h_in, a["v_proj"]["kernel"]).reshape(b, s, hkv, d)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache_l = _write_tokens(
+            cache_l,
+            k.reshape(b * s, hkv, d),
+            v.reshape(b * s, hkv, d),
+            flat_slots.reshape(b * s),
+            quantized,
+        )
+        attn = flash_attention(q, k, v, causal=True)  # native GQA
+        attn = _dense(attn.reshape(b, s, hq * d), a["o_proj"]["kernel"])
+        x = x + attn
+        h2 = _rms_norm(x, p_l["post_attn_ln"]["scale"], eps)
+        m = p_l["mlp"]
+        gate = jax.nn.silu(_dense(h2, m["gate_proj"]["kernel"]))
+        up = _dense(h2, m["up_proj"]["kernel"])
+        return x + _dense(gate * up, m["down_proj"]["kernel"]), cache_l
+
+    x, new_cache = jax.lax.scan(layer, x, (blk, pages_tree))
+    x = _rms_norm(x, params["norm"]["scale"], eps)
+    idx = jnp.clip(prompt_lengths - 1, 0, s - 1)
+    x_last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+    logits = _lm_head(x_last, params, cfg)
+    return logits.astype(jnp.float32), new_cache
+
+
+def _lm_head(x, params, cfg: LlamaConfig):
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        return x @ params["embed_tokens"].astype(cfg.dtype).T
+    return x @ params["lm_head"].astype(cfg.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized"), donate_argnums=(4,))
+def llama_decode_step(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    input_ids: jax.Array,  # (B,)
+    positions: jax.Array,  # (B,)
+    pages_tree: Dict[str, jax.Array],
+    flat_slots: jax.Array,  # (B,)
+    lengths: jax.Array,  # (B,)
+    page_tables: jax.Array,  # (B, pages_per_seq)
+    quantized: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One decode token per sequence. Returns (logits (B, V), new pages)."""
+    b = input_ids.shape[0]
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    cos, sin = rope_cos_sin(positions[:, None], d, cfg.rope_theta)  # (B,1,D)
+    x = params["embed_tokens"].astype(cfg.dtype)[input_ids]  # (B, E)
+    blk = params["layers"]["layer"]
+
+    def layer(carry, xs):
+        x = carry
+        p_l, cache_l = xs
+        h_in = _rms_norm(x, p_l["input_ln"]["scale"], eps)
+        a = p_l["attn"]
+        q = _dense(h_in, a["q_proj"]["kernel"]).reshape(b, 1, hq, d)
+        k = _dense(h_in, a["k_proj"]["kernel"]).reshape(b, 1, hkv, d)
+        v = _dense(h_in, a["v_proj"]["kernel"]).reshape(b, 1, hkv, d)
+        q = apply_rope(q, cos, sin)[:, 0]  # (B, Hq, D)
+        k = apply_rope(k, cos, sin)[:, 0]  # (B, Hkv, D)
+        v = v[:, 0]
+        cache_l = _write_tokens(cache_l, k, v, flat_slots, quantized)
+        attn = paged_attention_xla(
+            q.astype(jnp.float32),
+            cache_l["k"],
+            cache_l["v"],
+            lengths,
+            page_tables,
+            cache_l["ks"] if quantized else None,
+            cache_l["vs"] if quantized else None,
+        )  # (B, Hq, D)
+        attn = _dense(attn.reshape(b, hq * d).astype(x.dtype), a["o_proj"]["kernel"])
+        x = x + attn
+        h2 = _rms_norm(x, p_l["post_attn_ln"]["scale"], eps)
+        m = p_l["mlp"]
+        gate = jax.nn.silu(_dense(h2, m["gate_proj"]["kernel"]))
+        up = _dense(h2, m["up_proj"]["kernel"])
+        return x + _dense(gate * up, m["down_proj"]["kernel"]), cache_l
+
+    x, new_cache = jax.lax.scan(layer, x, (blk, pages_tree))
+    x = _rms_norm(x, params["norm"]["scale"], eps)
+    logits = _lm_head(x, params, cfg)
+    return logits.astype(jnp.float32), new_cache
