@@ -217,3 +217,92 @@ class SecurityManager:
             "rate_limiter": self.limiter.stats(),
             "recent_audit": self.audit.recent(5),
         }
+
+
+# ---------------------------------------------------------------------------
+# PII scan/redaction, state-dict sanitization, config integrity
+# (reference utils/security.py:22-633's remaining surfaces)
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = {
+    "email": r"[\w.+-]+@[\w-]+\.[\w.-]+",
+    "phone": r"(?<!\d)(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3,4}[ .-]?\d{4}(?!\d)",
+    "ssn": r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
+    "credit_card": r"(?<!\d)(?:\d[ -]?){13,16}(?!\d)",
+    "ip_address": r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)",
+}
+
+
+def scan_pii(text: str) -> Dict[str, List[str]]:
+    """Find PII-looking spans by category (reference PII scan)."""
+    import re
+
+    found: Dict[str, List[str]] = {}
+    for kind, pattern in _PII_PATTERNS.items():
+        hits = re.findall(pattern, text)
+        if hits:
+            found[kind] = hits
+    return found
+
+
+def redact_pii(text: str, replacement: str = "[REDACTED-{kind}]") -> str:
+    """Replace PII-looking spans with typed placeholders."""
+    import re
+
+    for kind, pattern in _PII_PATTERNS.items():
+        text = re.sub(pattern, replacement.format(kind=kind.upper()), text)
+    return text
+
+
+def sanitize_state_dict(params: Any) -> Any:
+    """Validate a parameter pytree before loading (reference model
+    state-dict sanitizer): every leaf must be a finite numeric array —
+    NaN/Inf smuggled into checkpoints is the classic poisoning vector.
+    Returns the tree unchanged; raises SecurityError otherwise.
+    """
+    import jax
+    import numpy as np
+
+    def check(path, leaf):
+        arr = np.asarray(leaf)
+        if arr.dtype == object:
+            raise SecurityError(f"non-numeric leaf at {path}")
+        if np.issubdtype(arr.dtype, np.floating) and not np.all(np.isfinite(arr)):
+            raise SecurityError(f"non-finite values in parameter at {path}")
+        return leaf
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for kp, leaf in flat:
+        check(jax.tree_util.keystr(kp), leaf)
+    return params
+
+
+class ConfigIntegrity:
+    """Tamper detection for config dicts (reference config integrity
+    hashing): seal a config snapshot, verify it later."""
+
+    def __init__(self) -> None:
+        self._seals: Dict[str, str] = {}
+
+    @staticmethod
+    def _digest(config: Dict) -> str:
+        import hashlib
+        import json
+
+        blob = json.dumps(config, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()
+
+    def seal(self, name: str, config: Dict) -> str:
+        d = self._digest(config)
+        self._seals[name] = d
+        return d
+
+    def verify(self, name: str, config: Dict) -> bool:
+        expected = self._seals.get(name)
+        if expected is None:
+            raise SecurityError(f"no seal recorded for {name!r}")
+        return self._digest(config) == expected
+
+    def assert_unchanged(self, name: str, config: Dict) -> None:
+        if not self.verify(name, config):
+            raise SecurityError(f"config {name!r} modified since sealing")

@@ -99,3 +99,73 @@ class TestManager:
             m.validate_request("anyone")
         m.emergency_lockdown(False)
         m.validate_request("anyone")
+
+
+class TestPII:
+    def test_scan_finds_categories(self):
+        from photonic_flash_attention_tpu.utils.security import scan_pii
+
+        text = "mail me at alice@example.com from 10.0.0.1, ssn 123-45-6789"
+        found = scan_pii(text)
+        assert "email" in found and "ip_address" in found and "ssn" in found
+
+    def test_redact(self):
+        from photonic_flash_attention_tpu.utils.security import redact_pii
+
+        out = redact_pii("contact bob@corp.io now")
+        assert "bob@corp.io" not in out
+        assert "[REDACTED-EMAIL]" in out
+
+    def test_clean_text_untouched(self):
+        from photonic_flash_attention_tpu.utils.security import redact_pii, scan_pii
+
+        text = "flash attention block sizes are tuned per chip"
+        assert scan_pii(text) == {}
+        assert redact_pii(text) == text
+
+
+class TestStateDictSanitizer:
+    def test_finite_tree_passes(self):
+        import jax.numpy as jnp
+
+        from photonic_flash_attention_tpu.utils.security import sanitize_state_dict
+
+        tree = {"a": {"w": jnp.ones((2, 2))}, "b": jnp.zeros(3)}
+        assert sanitize_state_dict(tree) is tree
+
+    def test_nan_leaf_rejected(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from photonic_flash_attention_tpu.utils.exceptions import SecurityError
+        from photonic_flash_attention_tpu.utils.security import sanitize_state_dict
+
+        tree = {"w": jnp.asarray([1.0, float("nan")])}
+        with pytest.raises(SecurityError):
+            sanitize_state_dict(tree)
+
+
+class TestConfigIntegrity:
+    def test_seal_and_verify(self):
+        from photonic_flash_attention_tpu.utils.security import ConfigIntegrity
+
+        ci = ConfigIntegrity()
+        cfg = {"flash_threshold": 512, "quant_mode": "fp8"}
+        ci.seal("engine", cfg)
+        assert ci.verify("engine", cfg)
+        cfg["flash_threshold"] = 1
+        assert not ci.verify("engine", cfg)
+
+    def test_assert_unchanged_raises(self):
+        import pytest
+
+        from photonic_flash_attention_tpu.utils.exceptions import SecurityError
+        from photonic_flash_attention_tpu.utils.security import ConfigIntegrity
+
+        ci = ConfigIntegrity()
+        ci.seal("x", {"a": 1})
+        ci.assert_unchanged("x", {"a": 1})
+        with pytest.raises(SecurityError):
+            ci.assert_unchanged("x", {"a": 2})
+        with pytest.raises(SecurityError):
+            ci.assert_unchanged("unknown", {})
