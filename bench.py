@@ -9,8 +9,19 @@ cli.py:24-35 grid; S=2048 is its long-seq regime where the README claims
 ``vs_baseline``: speedup over XLA-fused naive attention on the SAME chip
 — the honest analogue of the reference's photonic-vs-GPU ratio (their
 "GPU baseline" was their own standard path).
+
+Timing methodology: the iteration loop runs INSIDE one jitted
+``lax.scan`` (output chained into the next call so nothing is
+dead-code-eliminated), and per-iteration time is the slope of a linear
+fit across two iteration counts. This cancels the fixed host->device
+dispatch + fetch round-trip, which through tunneled remote runtimes is
+~24 ms per call — 12x the kernel itself at this geometry — and which a
+production serving loop amortizes by pipelining. ``block_until_ready``
+is additionally unreliable here (observed to return before execution
+completes), so completion is forced by fetching a scalar reduction.
 """
 
+import functools
 import json
 import time
 
@@ -18,22 +29,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+ITERS_LO, ITERS_HI = 20, 120
 
-def _bench(fn, args, iters=20):
-    """Chained timing: each call's output feeds the next call's first arg,
-    and the final result is fetched to host. Plain block_until_ready-based
-    loops are unreliable through remote-dispatch TPU runtimes (observed to
-    return before execution completes); the data dependency + host fetch
-    force true end-to-end completion of every iteration."""
-    q, *rest = args
-    x = fn(q, *rest)
-    float(jnp.sum(x))  # warmup compile + fetch path
-    t0 = time.perf_counter()
-    x = q
-    for _ in range(iters):
-        x = fn(x, *rest)
-    float(jnp.sum(x))
-    return (time.perf_counter() - t0) / iters
+
+def _timed(fn, q, k, v, iters, repeats=3):
+    @functools.partial(jax.jit, static_argnums=3)
+    def many(q, k, v, n):
+        def body(c, _):
+            return fn(c, k, v).astype(c.dtype), None
+
+        out, _ = jax.lax.scan(body, q, None, length=n)
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(many(q, k, v, iters))  # compile + warm the fetch path
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(many(q, k, v, iters))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _bench(fn, q, k, v):
+    """Per-iteration device time via linear fit over iteration counts."""
+    t_lo = _timed(fn, q, k, v, ITERS_LO)
+    t_hi = _timed(fn, q, k, v, ITERS_HI)
+    return (t_hi - t_lo) / (ITERS_HI - ITERS_LO)
 
 
 def main() -> None:
@@ -58,19 +79,22 @@ def main() -> None:
 
     # Baseline: XLA-fused naive attention.
     print("compiling baseline...", file=sys.stderr, flush=True)
-    naive = jax.jit(lambda q, k, v: attention_reference(q, k, v, causal=True)[0])
-    t_naive = _bench(naive, (q, k, v))
+    t_naive = _bench(
+        lambda q, k, v: attention_reference(q, k, v, causal=True)[0], q, k, v
+    )
     print(f"baseline {t_naive*1e3:.3f} ms", file=sys.stderr, flush=True)
 
-    # Flash kernel at the tuned default block sizes (512 x 1024, measured
-    # best on v5e — see ops/flash.py).
-    bq, bkv = 512, 1024
-    fn = jax.jit(
+    # Flash kernel at the tuned default block sizes (1024 x 1024, measured
+    # best on v5e by the same fit methodology — see ops/flash.py).
+    bq, bkv = 1024, 1024
+    t_flash = _bench(
         lambda q, k, v: flash_attention(
             q, k, v, causal=True, block_q=bq, block_kv=bkv
-        )
+        ),
+        q,
+        k,
+        v,
     )
-    t_flash = _bench(fn, (q, k, v))
     print(f"flash {t_flash*1e3:.3f} ms", file=sys.stderr, flush=True)
 
     tokens_per_s = B * S / t_flash
@@ -90,6 +114,7 @@ def main() -> None:
                     "dtype": "bfloat16",
                     "causal": True,
                     "backend": jax.default_backend(),
+                    "timing": "lax.scan-chained, dispatch-overhead-free linear fit",
                 },
             }
         )

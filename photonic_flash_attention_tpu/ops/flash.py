@@ -453,8 +453,10 @@ def flash_attention(
         raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
 
     scale = sm_scale if sm_scale is not None else d ** -0.5
-    # Measured sweet spot on v5e (flash_tune sweeps): 512 x 1024.
-    bq = block_q or _choose_block(sq, 512)
+    # Measured sweet spot on v5e (dispatch-overhead-free linear-fit sweeps
+    # at S in 1K..8K, D=64/128): 1024 x 1024 wins at every geometry tried
+    # (e.g. B4xS2048xH12xD64 causal: 0.629 ms vs 0.719 ms at 512x1024).
+    bq = block_q or _choose_block(sq, 1024)
     bkv = block_kv or _choose_block(skv, 1024)
     interp = resolve_interpret(interpret)
 
@@ -488,7 +490,7 @@ def flash_attention_with_lse(
     if hq % hkv:
         raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
     scale = sm_scale if sm_scale is not None else d ** -0.5
-    bq = block_q or _choose_block(sq, 512)
+    bq = block_q or _choose_block(sq, 1024)
     bkv = block_kv or _choose_block(skv, 1024)
     interp = resolve_interpret(interpret)
     o, lse = _flash_core_fwd_impl(
