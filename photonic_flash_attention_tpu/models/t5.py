@@ -30,6 +30,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..config import get_config
+from ..ops.flash import flash_attention
+from ..ops.rel_bias import T5RelBias, materialize
 from .attention import dispatch_attention
 
 
@@ -118,13 +121,14 @@ def _relative_position_bucket(
 
 
 class T5RelativeBias(nn.Module):
-    """Learned bias (num_buckets, num_heads) -> (1, H, Sq, Skv)."""
+    """Learned bias (num_buckets, num_heads); dense (1, H, Sq, Skv) or the
+    raw table for the in-kernel flash path (ops/rel_bias.py)."""
 
     config: T5Config
     bidirectional: bool
 
     @nn.compact
-    def __call__(self, sq: int, skv: int) -> jax.Array:
+    def __call__(self, sq: int, skv: int, as_table: bool = False) -> jax.Array:
         cfg = self.config
         table = self.param(
             "rel_embedding",
@@ -132,6 +136,8 @@ class T5RelativeBias(nn.Module):
             (cfg.relative_attention_num_buckets, cfg.num_heads),
             jnp.float32,
         )
+        if as_table:
+            return table
         ctx = jnp.arange(sq, dtype=jnp.int32)[:, None]
         mem = jnp.arange(skv, dtype=jnp.int32)[None, :]
         buckets = _relative_position_bucket(
@@ -146,10 +152,18 @@ class T5RelativeBias(nn.Module):
 
 class T5Attention(nn.Module):
     """T5 attention: no projection bias, unscaled scores, optional
-    additive position bias, inner dim ``num_heads * d_kv``."""
+    additive position bias, inner dim ``num_heads * d_kv``.
+
+    ``kernel_bias=True`` means ``bias`` is the raw (num_buckets, H) table
+    and the relative-position bias is rebuilt from iota INSIDE the Pallas
+    flash kernel (ops/rel_bias.py) — no dense (H, Sq, Skv) tensor exists,
+    which is what makes long-sequence T5 tractable (the reference's
+    headline T5-Large seq-8192 claim would need a ~4 GB bias tensor on
+    its dense path, reference README.md:663)."""
 
     config: T5Config
     causal: bool = False
+    kernel_bias: bool = False
 
     @nn.compact
     def __call__(
@@ -170,9 +184,25 @@ class T5Attention(nn.Module):
         q = dense("q")(x).reshape(b, sq, cfg.num_heads, cfg.d_kv)
         k = dense("k")(kv).reshape(b, skv, cfg.num_heads, cfg.d_kv)
         v = dense("v")(kv).reshape(b, skv, cfg.num_heads, cfg.d_kv)
-        out, _ = dispatch_attention(
-            q, k, v, mask, bias=bias, causal=self.causal, sm_scale=1.0
-        )
+        if self.kernel_bias and bias is not None:
+            spec = T5RelBias(
+                table=bias,
+                bidirectional=not self.causal,
+                max_distance=cfg.relative_attention_max_distance,
+            )
+            if mask is None and sq >= get_config().flash_threshold:
+                out = flash_attention(
+                    q, k, v, causal=self.causal, sm_scale=1.0, rel_bias=spec
+                )
+            else:
+                dense_bias = materialize(spec, sq, skv).astype(cfg.dtype)
+                out, _ = dispatch_attention(
+                    q, k, v, mask, bias=dense_bias, causal=self.causal, sm_scale=1.0
+                )
+        else:
+            out, _ = dispatch_attention(
+                q, k, v, mask, bias=bias, causal=self.causal, sm_scale=1.0
+            )
         out = out.reshape(b, sq, inner)
         return nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype, name="o")(out)
 
@@ -200,6 +230,7 @@ class T5Block(nn.Module):
 
     config: T5Config
     is_decoder: bool = False
+    kernel_bias: bool = False
 
     @nn.compact
     def __call__(
@@ -214,9 +245,12 @@ class T5Block(nn.Module):
         ln = lambda name: T5LayerNorm(  # noqa: E731
             epsilon=cfg.layer_norm_epsilon, dtype=cfg.dtype, name=name
         )
-        x = x + T5Attention(cfg, causal=self.is_decoder, name="self_attn")(
-            ln("self_attn_ln")(x), mask=self_mask, bias=self_bias
-        )
+        x = x + T5Attention(
+            cfg,
+            causal=self.is_decoder,
+            kernel_bias=self.kernel_bias,
+            name="self_attn",
+        )(ln("self_attn_ln")(x), mask=self_mask, bias=self_bias)
         if self.is_decoder:
             x = x + T5Attention(cfg, causal=False, name="cross_attn")(
                 ln("cross_attn_ln")(x), kv=enc_out, mask=enc_mask
@@ -227,12 +261,13 @@ class T5Block(nn.Module):
 class _ScanBlock(nn.Module):
     config: T5Config
     is_decoder: bool = False
+    kernel_bias: bool = False
 
     @nn.compact
     def __call__(self, x, self_bias, self_mask, enc_out, enc_mask):
-        out = T5Block(self.config, self.is_decoder, name="block")(
-            x, self_bias, self_mask, enc_out, enc_mask
-        )
+        out = T5Block(
+            self.config, self.is_decoder, kernel_bias=self.kernel_bias, name="block"
+        )(x, self_bias, self_mask, enc_out, enc_mask)
         return out, None
 
 
@@ -254,9 +289,13 @@ class T5Stack(nn.Module):
         cfg = self.config
         n_layers = cfg.num_decoder_layers if self.is_decoder else cfg.num_layers
         s = x.shape[1]
+        # Unmasked stacks ship the raw bias TABLE into each layer and let
+        # the flash kernel rebuild the bias from iota per tile; masked
+        # stacks (padding) fall back to the dense-bias fused path.
+        kernel_bias = self_mask is None
         bias = T5RelativeBias(
             cfg, bidirectional=not self.is_decoder, name="rel_bias"
-        )(s, s)
+        )(s, s, as_table=kernel_bias)
         if self.scan_layers:
             scanned = nn.scan(
                 _ScanBlock,
@@ -265,13 +304,13 @@ class T5Stack(nn.Module):
                 in_axes=(nn.broadcast,) * 4,
                 length=n_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
-            )(cfg, self.is_decoder, name="blocks")
+            )(cfg, self.is_decoder, kernel_bias, name="blocks")
             x, _ = scanned(x, bias, self_mask, enc_out, enc_mask)
         else:
             for i in range(n_layers):
-                x = T5Block(cfg, self.is_decoder, name=f"block_{i}")(
-                    x, bias, self_mask, enc_out, enc_mask
-                )
+                x = T5Block(
+                    cfg, self.is_decoder, kernel_bias=kernel_bias, name=f"block_{i}"
+                )(x, bias, self_mask, enc_out, enc_mask)
         return T5LayerNorm(
             epsilon=cfg.layer_norm_epsilon, dtype=cfg.dtype, name="final_ln"
         )(x)

@@ -2,6 +2,7 @@
 
 from .flash import flash_attention
 from .fused import fused_attention
+from .rel_bias import ALiBi, T5RelBias, alibi_slopes, materialize
 from .quantization import (
     QuantizedTensor,
     dequantize,
@@ -12,7 +13,11 @@ from .quantization import (
 from .reference import attention_blockwise, attention_reference
 
 __all__ = [
+    "ALiBi",
     "QuantizedTensor",
+    "T5RelBias",
+    "alibi_slopes",
+    "materialize",
     "attention_blockwise",
     "attention_reference",
     "dequantize",

@@ -31,6 +31,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_utils import NUM_LANES, cdiv, resolve_interpret, round_up
 from .reference import DEFAULT_MASK_VALUE
+from .rel_bias import (
+    RelBias,
+    bias_from_table,
+    bias_table,
+    rel_statics,
+    relative_position_bucket,
+    static_bucket,
+)
+
+# Static rel-bias parameter bundle threaded through custom_vjp:
+# (kind, bidirectional, num_buckets, max_distance). kind "none" disables.
+_NO_REL = ("none", False, 0, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -55,11 +67,29 @@ def _flash_fwd_kernel(
     block_q: int,
     block_kv: int,
     num_kv_blocks: int,
+    tab_ref=None,  # (H, W) SMEM bias table; None = no bias
+    rel: Tuple[str, bool, int, int] = _NO_REL,
+    window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
+    band_c: Optional[int] = None,  # banded grid: ki = (qi*bq + band_c)//bkv + kb
+    kv_blocks_total: Optional[int] = None,
 ):
     qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    kb = pl.program_id(3)
+    if kv_blocks_total is None:
+        kv_blocks_total = num_kv_blocks
+    if band_c is not None:
+        # Banded grid: the kv grid dim only spans the diagonal band; map
+        # the grid step to its true kv block index (may fall off either
+        # end — those steps are skipped below; their DMA clamps to a
+        # valid block and is revisit-cached).
+        ki = (qi * block_q + band_c) // block_kv + kb
+    else:
+        ki = kb
+    # Hoisted: pl.program_id inside a pl.when body breaks the CPU
+    # interpreter lowering (verified with a minimal repro).
+    hh = pl.program_id(1)
 
-    @pl.when(ki == 0)
+    @pl.when(kb == 0)
     def _init():
         m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[:] = jnp.zeros_like(l_scratch)
@@ -73,10 +103,33 @@ def _flash_fwd_kernel(
         should_run = ki * block_kv <= (qi + 1) * block_q - 1 + kv_off
     else:
         should_run = True
+    # rel = col - row bounds of this tile (used by window skipping & bias).
+    rel_lo_t = ki * block_kv - (qi * block_q + block_q - 1 + kv_off)
+    rel_hi_t = ki * block_kv + block_kv - 1 - (qi * block_q + kv_off)
+    if band_c is not None:
+        should_run = jnp.logical_and(
+            jnp.logical_and(should_run, ki >= 0), ki < kv_blocks_total
+        )
+    if window is not None:
+        win_lo, win_hi, win_mode = window
+        if win_mode == "inside":
+            # Skip tiles with no overlap with the [lo, hi] rel band.
+            if win_hi is not None:
+                should_run = jnp.logical_and(should_run, rel_lo_t <= win_hi)
+            if win_lo is not None:
+                should_run = jnp.logical_and(should_run, rel_hi_t >= win_lo)
+        else:  # "outside": valid rel <= lo or rel >= hi
+            inside_only = jnp.logical_and(
+                rel_lo_t > (win_lo if win_lo is not None else -(2 ** 30)),
+                rel_hi_t < (win_hi if win_hi is not None else 2 ** 30),
+            )
+            should_run = jnp.logical_and(
+                should_run, jnp.logical_not(inside_only)
+            )
 
     # The last kv block carries padded columns only when padding exists
     # (static): interior tiles then skip mask work entirely.
-    has_kv_pad = num_kv_blocks * block_kv > kv_true_len
+    has_kv_pad = kv_blocks_total * block_kv > kv_true_len
 
     @pl.when(should_run)
     def _run():
@@ -93,6 +146,59 @@ def _flash_fwd_kernel(
         # benched ~15% SLOWER end-to-end) — don't "optimize" this.
         s = s * sm_scale
 
+        rel_kind, rel_bidir, rel_nb, rel_maxd = rel
+        if rel_kind != "none":
+            # In-kernel relative-position bias: rebuilt from iota per tile
+            # (zero HBM bias traffic — the enabler for T5 at long S, where
+            # the dense bias would be H*S^2*4B). See ops/rel_bias.py.
+            # T5 runs as a two-kernel decomposition (far + band, merged by
+            # logsumexp in the caller): per-tile predication was measured
+            # SLOWER than splitting — lax.cond lowers to execute-both, and
+            # pl.when over a big bias scratch serializes the pipeline.
+            rel_tile = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                + ki * block_kv
+                - (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                    + qi * block_q
+                    + kv_off
+                )
+            )
+            if rel_kind == "alibi":
+                s = s + tab_ref[hh, 0] * rel_tile.astype(jnp.float32)
+            elif rel_kind == "t5far":
+                # Saturated region: the bucket of any rel <= -maxd (resp.
+                # >= +maxd) is one STATIC index — two SMEM reads and an
+                # elementwise two-way select (a tile near the diagonal can
+                # contain both saturated sides).
+                left_b = static_bucket(
+                    -rel_maxd,
+                    bidirectional=rel_bidir,
+                    num_buckets=rel_nb,
+                    max_distance=rel_maxd,
+                )
+                right_b = static_bucket(
+                    rel_maxd,
+                    bidirectional=rel_bidir,
+                    num_buckets=rel_nb,
+                    max_distance=rel_maxd,
+                )
+                s = s + jnp.where(
+                    rel_tile < 0, tab_ref[hh, left_b], tab_ref[hh, right_b]
+                )
+            else:  # "t5band": exact per-element lookup, unconditional —
+                # only near-diagonal tiles ever reach this kernel.
+                bucket = relative_position_bucket(
+                    rel_tile,
+                    bidirectional=rel_bidir,
+                    num_buckets=rel_nb,
+                    max_distance=rel_maxd,
+                )
+                bias = jnp.zeros((block_q, block_kv), jnp.float32)
+                for b_ in range(rel_nb):
+                    bias = bias + jnp.where(bucket == b_, tab_ref[hh, b_], 0.0)
+                s = s + bias
+
         def apply_mask(s):
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -102,25 +208,44 @@ def _flash_fwd_kernel(
                 valid = col < kv_true_len
             else:
                 valid = None
+
+            def _and(a, b):
+                return b if a is None else jnp.logical_and(a, b)
+
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                + qi * block_q
+                + kv_off
+            )
             if causal:
-                row = (
-                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-                    + qi * block_q
-                    + kv_off
-                )
-                causal_ok = col <= row
-                valid = (
-                    causal_ok if valid is None
-                    else jnp.logical_and(valid, causal_ok)
-                )
+                valid = _and(valid, col <= row)
+            if window is not None:
+                rel_m = col - row
+                lo_, hi_, mode_ = window
+                if mode_ == "inside":
+                    if lo_ is not None:
+                        valid = _and(valid, rel_m >= lo_)
+                    if hi_ is not None:
+                        valid = _and(valid, rel_m <= hi_)
+                else:  # outside
+                    out_ok = None
+                    if lo_ is not None:
+                        out_ok = rel_m <= lo_
+                    if hi_ is not None:
+                        hi_ok = rel_m >= hi_
+                        out_ok = hi_ok if out_ok is None else jnp.logical_or(
+                            out_ok, hi_ok
+                        )
+                    if out_ok is not None:
+                        valid = _and(valid, out_ok)
             return jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         # Mask when any tile could need it: padded last-kv tiles, causal
-        # tiles. (A per-tile lax.cond to skip interior tiles measures
-        # SLOWER on v5e — the scalar-core branch stalls the Mosaic
-        # pipeline — so masking is unconditional when enabled; only the
-        # fully-static no-pad non-causal case elides it.)
-        if has_kv_pad or causal:
+        # tiles, rel-window bands. (A per-tile lax.cond to skip interior
+        # tiles measures SLOWER on v5e — the scalar-core branch stalls the
+        # Mosaic pipeline — so masking is unconditional when enabled; only
+        # the fully-static no-pad non-causal unwindowed case elides it.)
+        if has_kv_pad or causal or window is not None:
             s = apply_mask(s)
 
         m_prev = m_scratch[:, :1]  # [block_q, 1]
@@ -140,7 +265,7 @@ def _flash_fwd_kernel(
         )
         acc_scratch[:] = acc_scratch[:] * alpha + pv
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(kb == num_kv_blocks - 1)
     def _store():
         l_fin = l_scratch[:, :1]
         l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
@@ -167,11 +292,32 @@ def _flash_fwd(
     interpret: bool,
     save_residuals: bool,
     group: int = 1,
+    tab: Optional[jax.Array] = None,  # (H, W) fp32 rel-bias table
+    rel: Tuple[str, bool, int, int] = _NO_REL,
+    window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
+    banded_grid: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
     num_q_blocks = sq // block_q
     num_kv_blocks = skv // block_kv
+    kv_blocks_total = num_kv_blocks
+
+    band_c = None
+    if banded_grid:
+        # Grid the kv dimension over the diagonal band only. Requires an
+        # "inside" window with a finite lower bound (upper bound finite
+        # or implied by causal).
+        assert window is not None and window[2] == "inside" and window[0] is not None
+        lo = window[0]
+        hi = 0 if window[1] is None else window[1]
+        assert causal or window[1] is not None
+        kv_off_ = kv_true_len - q_true_len
+        band_c = kv_off_ + lo
+        # +1 covers straddle; off-range steps are skipped in-kernel (do
+        # NOT clamp to kv_blocks_total — the band start shifts left of 0).
+        span = (hi - lo) + block_q
+        num_kv_blocks = cdiv(span, block_kv) + 1
 
     grid = (b, h, num_q_blocks, num_kv_blocks)
 
@@ -192,10 +338,17 @@ def _flash_fwd(
         )
         kernel_fn = _flash_fwd_kernel
     else:
-        def kernel_fn(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
+        def kernel_fn(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *scr, **kw):
             return _flash_fwd_kernel(
-                q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, **kw
+                q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, *scr, **kw
             )
+
+    has_tab = tab is not None
+    if has_tab:
+        inner = kernel_fn
+
+        def kernel_fn(q_ref, k_ref, v_ref, tab_ref, *rest, **kw):
+            return inner(q_ref, k_ref, v_ref, *rest, tab_ref=tab_ref, **kw)
 
     kernel = functools.partial(
         kernel_fn,
@@ -206,26 +359,47 @@ def _flash_fwd(
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
+        rel=rel,
+        window=window,
+        band_c=band_c,
+        kv_blocks_total=kv_blocks_total,
     )
+
+    if band_c is None:
+        kv_block_index = lambda qi, ki: ki  # noqa: E731
+    else:
+        bc, bq_, bkv_, tot = band_c, block_q, block_kv, kv_blocks_total
+
+        def kv_block_index(qi, ki):
+            return jnp.clip((qi * bq_ + bc) // bkv_ + ki, 0, tot - 1)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        # GQA natively: each group of q heads reads the SAME kv head
+        # tile (index h // group) — no repeated KV in HBM; Mosaic's
+        # revisiting-aware pipeline skips the re-fetch when the index
+        # map returns the same block.
+        pl.BlockSpec(
+            (1, 1, block_kv, d),
+            lambda b_, h_, qi, ki: (b_, h_ // group, kv_block_index(qi, ki), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv, d),
+            lambda b_, h_, qi, ki: (b_, h_ // group, kv_block_index(qi, ki), 0),
+        ),
+    ]
+    inputs = [q, k, v]
+    if has_tab:
+        # The whole (H, W) table lives in scalar memory (a few KB); the
+        # kernel indexes its head's row by program_id. The per-tile bias
+        # is rebuilt from iota + this table (no HBM bias tensor).
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(tab)
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-            # GQA natively: each group of q heads reads the SAME kv head
-            # tile (index h // group) — no repeated KV in HBM; Mosaic's
-            # revisiting-aware pipeline skips the re-fetch when the index
-            # map returns the same block.
-            pl.BlockSpec(
-                (1, 1, block_kv, d),
-                lambda b_, h_, qi, ki: (b_, h_ // group, ki, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_kv, d),
-                lambda b_, h_, qi, ki: (b_, h_ // group, ki, 0),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs) if save_residuals else out_specs[0],
         out_shape=tuple(out_shape) if save_residuals else out_shape[0],
         scratch_shapes=[
@@ -237,7 +411,7 @@ def _flash_fwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*inputs)
     if save_residuals:
         o, lse = outs
         return o, lse[..., 0]
@@ -262,11 +436,14 @@ def _flash_bwd(
     q_true_len: int,
     kv_true_len: int,
     block_kv: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    tab: Optional[jax.Array] = None,  # (H, W) fp32 rel-bias table
+    rel: Tuple[str, bool, int, int] = _NO_REL,
+) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
     num_blocks = skv // block_kv
     kv_off = kv_true_len - q_true_len
+    rel_kind, rel_bidir, rel_nb, rel_maxd = rel
 
     qf = q.astype(jnp.float32)
     dof = do.astype(jnp.float32)
@@ -281,12 +458,24 @@ def _flash_bwd(
 
     row = jax.lax.broadcasted_iota(jnp.int32, (sq, block_kv), 0) + kv_off
 
-    def body(dq_acc, inputs):
+    def body(carry, inputs):
+        dq_acc, dtab_acc = carry
         blk_idx, k_blk, v_blk = inputs
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk) * sm_scale
         col = (
             jax.lax.broadcasted_iota(jnp.int32, (sq, block_kv), 1) + blk_idx * block_kv
         )
+        rel_blk = col - row  # (sq, block_kv)
+        if rel_kind != "none":
+            bias = bias_from_table(
+                rel_kind,
+                tab,
+                rel_blk,
+                bidirectional=rel_bidir,
+                num_buckets=rel_nb,
+                max_distance=rel_maxd,
+            )  # (H, sq, block_kv)
+            s = s + bias[None]
         valid = col < kv_true_len
         if causal:
             valid = jnp.logical_and(valid, col <= row)
@@ -294,18 +483,43 @@ def _flash_bwd(
         p = jnp.where(valid[None, None], jnp.exp(s - lse_e), 0.0)
         dv_blk = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
         dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_blk)
-        ds = p * (dp - di) * sm_scale
+        dsb = p * (dp - di)  # grad wrt (scores + bias), unscaled
+        if rel_kind == "alibi":
+            dtab_acc = dtab_acc + jnp.sum(
+                dsb * rel_blk[None, None].astype(jnp.float32), axis=(0, 2, 3)
+            ).reshape(h, 1)
+        elif rel_kind == "t5":
+            bucket = relative_position_bucket(
+                rel_blk,
+                bidirectional=rel_bidir,
+                num_buckets=rel_nb,
+                max_distance=rel_maxd,
+            )
+            for b_ in range(rel_nb):
+                dtab_acc = dtab_acc.at[:, b_].add(
+                    jnp.sum(
+                        jnp.where(bucket[None, None] == b_, dsb, 0.0),
+                        axis=(0, 2, 3),
+                    )
+                )
+        ds = dsb * sm_scale
         dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_blk)
         dk_blk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
-        return dq_acc, (dk_blk, dv_blk)
+        return (dq_acc, dtab_acc), (dk_blk, dv_blk)
 
     blk_ids = jnp.arange(num_blocks, dtype=jnp.int32)
-    dq, (dk_blocks, dv_blocks) = jax.lax.scan(
-        body, jnp.zeros_like(qf), (blk_ids, kb, vb)
+    dtab0 = jnp.zeros(tab.shape, jnp.float32) if tab is not None else jnp.zeros((h, 1))
+    (dq, dtab), (dk_blocks, dv_blocks) = jax.lax.scan(
+        body, (jnp.zeros_like(qf), dtab0), (blk_ids, kb, vb)
     )
     dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, skv, d)
     dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, skv, d)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        dtab if rel_kind != "none" else None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -348,7 +562,8 @@ def _pad_head_dim(d: int) -> int:
 
 
 def _flash_core_fwd_impl(
-    q, k, v, sm_scale, causal, block_q, block_kv, interpret, save_residuals=True
+    q, k, v, sm_scale, causal, block_q, block_kv, interpret, save_residuals=True,
+    tab=None, rel=_NO_REL, window=None, banded_grid=False,
 ):
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -373,8 +588,68 @@ def _flash_core_fwd_impl(
         interpret=interpret,
         save_residuals=save_residuals,
         group=h // hkv,
+        tab=tab,
+        rel=rel,
+        window=window,
+        banded_grid=banded_grid,
     )
     return o[:, :, :sq, :d], (lse[:, :, :sq] if lse is not None else None)
+
+
+def merge_partial_attention(o1, lse1, o2, lse2):
+    """Merge two normalized partial-attention results by logsumexp.
+
+    Each part is (output (..., D) normalized within its own key set,
+    lse (...)) with lse = -inf and a zero output row where the part saw no
+    valid keys. The same recurrence merges ring-attention shards
+    (parallel/ring.py) and the T5 far/band kernel split.
+    """
+    o1f = o1.astype(jnp.float32)
+    o2f = o2.astype(jnp.float32)
+    m = jnp.maximum(lse1, lse2)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    w1 = jnp.where(jnp.isneginf(lse1), 0.0, jnp.exp(lse1 - m_safe))
+    w2 = jnp.where(jnp.isneginf(lse2), 0.0, jnp.exp(lse2 - m_safe))
+    denom = w1 + w2
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    o = (o1f * w1[..., None] + o2f * w2[..., None]) / safe[..., None]
+    lse = jnp.where(denom == 0.0, -jnp.inf, m_safe + jnp.log(safe))
+    return o, lse
+
+
+def _t5_core_fwd_impl(
+    q, k, v, sm_scale, causal, block_q, block_kv, interpret, tab, rel
+):
+    """T5 rel-bias forward as a far/band kernel split.
+
+    The saturated (far) region runs the full flash kernel with a
+    two-constant bias; the narrow |rel| < max_distance band runs a
+    banded-grid pass with the exact per-element table lookup; the parts
+    merge by logsumexp. Measured on v5e this beats any single-kernel
+    per-tile predication scheme (lax.cond lowers to execute-both; a
+    pl.when-guarded bias scratch serializes the Mosaic pipeline).
+    """
+    maxd = rel[3]
+    rel_far = ("t5far",) + rel[1:]
+    rel_band = ("t5band",) + rel[1:]
+    far_win = (-maxd, None if causal else maxd, "outside")
+    band_win = (-(maxd - 1), None if causal else (maxd - 1), "inside")
+    o_far, lse_far = _flash_core_fwd_impl(
+        q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+        save_residuals=True, tab=tab, rel=rel_far, window=far_win,
+    )
+    # Tight blocks for the band pass: its cost is (executed tile area) x
+    # (table-lookup select chain), so narrow kv tiles matter more than
+    # matmul efficiency here.
+    bq_b = min(block_q, 512)
+    bkv_b = min(block_kv, 256)
+    o_band, lse_band = _flash_core_fwd_impl(
+        q, k, v, sm_scale, causal, bq_b, bkv_b, interpret,
+        save_residuals=True, tab=tab, rel=rel_band, window=band_win,
+        banded_grid=True,
+    )
+    o, lse = merge_partial_attention(o_far, lse_far, o_band, lse_band)
+    return o.astype(q.dtype), lse
 
 
 def _flash_core_fwd(q, k, v, sm_scale, causal, block_q, block_kv, interpret):
@@ -399,7 +674,7 @@ def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, residuals, d
         # primal/inference path never does (native GQA index maps).
         kp = jnp.repeat(kp, group, axis=1)
         vp = jnp.repeat(vp, group, axis=1)
-    dq, dk, dv = _flash_bwd(
+    dq, dk, dv, _ = _flash_bwd(
         q,
         kp,
         vp,
@@ -423,6 +698,85 @@ def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, residuals, d
 _flash_attention_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+# --- rel-bias variant: the (H, W) table is a 4th differentiable input ----
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention_core_rel(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    tab: jax.Array,  # (H, W) fp32
+    rel: Tuple[str, bool, int, int],
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+) -> jax.Array:
+    if rel[0] == "t5":
+        o, _ = _t5_core_fwd_impl(
+            q, k, v, sm_scale, causal, block_q, block_kv, interpret, tab, rel
+        )
+    else:
+        o, _ = _flash_core_fwd_impl(
+            q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+            save_residuals=False, tab=tab, rel=rel,
+        )
+    return o
+
+
+def _flash_core_rel_fwd(q, k, v, tab, rel, sm_scale, causal, block_q, block_kv, interpret):
+    if rel[0] == "t5":
+        o, lse = _t5_core_fwd_impl(
+            q, k, v, sm_scale, causal, block_q, block_kv, interpret, tab, rel
+        )
+    else:
+        o, lse = _flash_core_fwd_impl(
+            q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+            save_residuals=True, tab=tab, rel=rel,
+        )
+    return o, (q, k, v, tab, o, lse)
+
+
+def _flash_core_rel_bwd(rel, sm_scale, causal, block_q, block_kv, interpret, residuals, do):
+    q, k, v, tab, o, lse = residuals
+    b, h, _, d = q.shape
+    hkv = k.shape[1]
+    group = h // hkv
+    skv = k.shape[2]
+    skv_p = round_up(skv, block_kv)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    if group > 1:
+        kp = jnp.repeat(kp, group, axis=1)
+        vp = jnp.repeat(vp, group, axis=1)
+    dq, dk, dv, dtab = _flash_bwd(
+        q,
+        kp,
+        vp,
+        o,
+        lse,
+        do,
+        sm_scale=sm_scale,
+        causal=causal,
+        q_true_len=q.shape[2],
+        kv_true_len=skv,
+        block_kv=block_kv,
+        tab=tab,
+        rel=rel,
+    )
+    dk = dk[:, :, :skv]
+    dv = dv[:, :, :skv]
+    if group > 1:
+        dk = dk.reshape(b, hkv, group, skv, d).sum(2)
+        dv = dv.reshape(b, hkv, group, skv, d).sum(2)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), dtab.astype(tab.dtype)
+
+
+_flash_attention_core_rel.defvjp(_flash_core_rel_fwd, _flash_core_rel_bwd)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -433,6 +787,7 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
+    rel_bias: Optional[RelBias] = None,
 ) -> jax.Array:
     """Flash attention on TPU via Pallas.
 
@@ -443,6 +798,11 @@ def flash_attention(
       block_q / block_kv: kernel tile sizes (multiples of 128); autotuned
         defaults otherwise.
       interpret: force Pallas interpreter mode (auto on non-TPU backends).
+      rel_bias: optional structured relative-position bias
+        (``T5RelBias`` or ``ALiBi``, see ops/rel_bias.py) computed
+        in-kernel from iota — no dense (H, Sq, Skv) bias tensor exists
+        anywhere, which is what makes T5-style models tractable at long
+        sequence lengths. Differentiable w.r.t. the bias table/slopes.
 
     Returns:
       (B, Sq, Hq, D) attention output in q.dtype. Differentiable.
@@ -456,14 +816,28 @@ def flash_attention(
     # Measured sweet spot on v5e (dispatch-overhead-free linear-fit sweeps
     # at S in 1K..8K, D=64/128): 1024 x 1024 wins at every geometry tried
     # (e.g. B4xS2048xH12xD64 causal: 0.629 ms vs 0.719 ms at 512x1024).
-    bq = block_q or _choose_block(sq, 1024)
+    # The rel-bias path carries extra per-tile VMEM (iota/bucket/bias
+    # tiles); 1024x1024 blocks overflow the 16MB scoped VMEM there, so it
+    # defaults to 512x1024 (measured best among fitting configs on v5e).
+    bq = block_q or _choose_block(sq, 512 if rel_bias is not None else 1024)
     bkv = block_kv or _choose_block(skv, 1024)
     interp = resolve_interpret(interpret)
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o = _flash_attention_core(qt, kt, vt, scale, causal, bq, bkv, interp)
+    if rel_bias is not None:
+        if rel_bias.num_heads != hq:
+            raise ValueError(
+                f"rel_bias heads {rel_bias.num_heads} != q heads {hq}"
+            )
+        kind, tab = bias_table(rel_bias)
+        rel = rel_statics(rel_bias)
+        o = _flash_attention_core_rel(
+            qt, kt, vt, tab, rel, scale, causal, bq, bkv, interp
+        )
+    else:
+        o = _flash_attention_core(qt, kt, vt, scale, causal, bq, bkv, interp)
     return o.transpose(0, 2, 1, 3)
 
 
