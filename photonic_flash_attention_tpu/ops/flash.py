@@ -438,6 +438,7 @@ def _flash_bwd(
     block_kv: int,
     tab: Optional[jax.Array] = None,  # (H, W) fp32 rel-bias table
     rel: Tuple[str, bool, int, int] = _NO_REL,
+    window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -479,6 +480,13 @@ def _flash_bwd(
         valid = col < kv_true_len
         if causal:
             valid = jnp.logical_and(valid, col <= row)
+        if window is not None:
+            lo_, hi_, mode_ = window
+            assert mode_ == "inside"
+            if lo_ is not None:
+                valid = jnp.logical_and(valid, rel_blk >= lo_)
+            if hi_ is not None:
+                valid = jnp.logical_and(valid, rel_blk <= hi_)
         # p from saved lse: rows fully masked have lse=-inf -> p=0 via where.
         p = jnp.where(valid[None, None], jnp.exp(s - lse_e), 0.0)
         dv_blk = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
@@ -533,7 +541,7 @@ def _choose_block(seq: int, default: int) -> int:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def _flash_attention_core(
     q: jax.Array,
@@ -544,13 +552,26 @@ def _flash_attention_core(
     block_q: int,
     block_kv: int,
     interpret: bool,
+    window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
 ) -> jax.Array:
     # Primal (inference) path: no residuals, no lse HBM traffic.
     o, _ = _flash_core_fwd_impl(
         q, k, v, sm_scale, causal, block_q, block_kv, interpret,
-        save_residuals=False,
+        save_residuals=False, window=window,
+        banded_grid=_bandable(window, causal),
     )
     return o
+
+
+def _bandable(window, causal) -> bool:
+    """A finite inside-window supports the diagonal-band grid (skips
+    fetching/visiting out-of-window kv blocks entirely)."""
+    return (
+        window is not None
+        and window[2] == "inside"
+        and window[0] is not None
+        and (causal or window[1] is not None)
+    )
 
 
 def _pad_head_dim(d: int) -> int:
@@ -652,15 +673,16 @@ def _t5_core_fwd_impl(
     return o.astype(q.dtype), lse
 
 
-def _flash_core_fwd(q, k, v, sm_scale, causal, block_q, block_kv, interpret):
+def _flash_core_fwd(q, k, v, sm_scale, causal, block_q, block_kv, interpret, window=None):
     o, lse = _flash_core_fwd_impl(
         q, k, v, sm_scale, causal, block_q, block_kv, interpret,
-        save_residuals=True,
+        save_residuals=True, window=window,
+        banded_grid=_bandable(window, causal),
     )
     return o, (q, k, v, o, lse)
 
 
-def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, residuals, do):
+def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, window, residuals, do):
     q, k, v, o, lse = residuals
     b, h, _, d = q.shape
     hkv = k.shape[1]
@@ -686,6 +708,7 @@ def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, residuals, d
         q_true_len=q.shape[2],
         kv_true_len=skv,
         block_kv=block_kv,
+        window=window,
     )
     dk = dk[:, :, :skv]
     dv = dv[:, :, :skv]
@@ -788,6 +811,7 @@ def flash_attention(
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
     rel_bias: Optional[RelBias] = None,
+    window: Optional[Tuple[Optional[int], Optional[int]]] = None,
 ) -> jax.Array:
     """Flash attention on TPU via Pallas.
 
@@ -803,6 +827,12 @@ def flash_attention(
         in-kernel from iota — no dense (H, Sq, Skv) bias tensor exists
         anywhere, which is what makes T5-style models tractable at long
         sequence lengths. Differentiable w.r.t. the bias table/slopes.
+      window: optional (lo, hi) bounds on rel = col - row (inclusive;
+        None = unbounded on that side): sliding-window / local attention.
+        ``window=(-w + 1, 0)`` with ``causal=True`` is Mistral-style
+        local attention with window size ``w``. A finite window runs on a
+        diagonal-band grid — out-of-window kv blocks are never visited,
+        so cost scales with S*w, not S^2. Differentiable.
 
     Returns:
       (B, Sq, Hq, D) attention output in q.dtype. Differentiable.
@@ -826,6 +856,11 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
+    win3 = None
+    if window is not None:
+        if rel_bias is not None:
+            raise ValueError("window cannot be combined with rel_bias")
+        win3 = (window[0], window[1], "inside")
     if rel_bias is not None:
         if rel_bias.num_heads != hq:
             raise ValueError(
@@ -837,7 +872,9 @@ def flash_attention(
             qt, kt, vt, tab, rel, scale, causal, bq, bkv, interp
         )
     else:
-        o = _flash_attention_core(qt, kt, vt, scale, causal, bq, bkv, interp)
+        o = _flash_attention_core(
+            qt, kt, vt, scale, causal, bq, bkv, interp, win3
+        )
     return o.transpose(0, 2, 1, 3)
 
 
