@@ -29,6 +29,12 @@ class GlobalConfig:
     #: sequence length at/above which the tiled flash kernel is preferred
     #: over the fused short-sequence path.
     flash_threshold: int = 512
+    #: minimum total tokens (batch * seq) for the flash kernel: small
+    #: batches at short sequences underfill the Pallas grid and the fused
+    #: XLA path wins (measured B=1: dense beats flash up to S~1024 on
+    #: v5e). The reference's heuristic similarly gated on total ops
+    #: (hybrid_router.py:160-173 total-ops > 1e6 -> photonic).
+    flash_min_tokens: int = 2048
     #: sequence length at/above which ring (sequence-parallel) attention is
     #: preferred when a `seq` mesh axis is available.
     ring_threshold: int = 16384
@@ -86,6 +92,7 @@ class GlobalConfig:
 # Environment override table (reference: config.py:61-83).
 _ENV_OVERRIDES: Tuple[Tuple[str, str, Any], ...] = (
     ("PFA_FLASH_THRESHOLD", "flash_threshold", int),
+    ("PFA_FLASH_MIN_TOKENS", "flash_min_tokens", int),
     ("PFA_RING_THRESHOLD", "ring_threshold", int),
     ("PFA_QUANT_MODE", "quant_mode", str),
     ("PFA_KV_CACHE_DTYPE", "kv_cache_dtype", str),

@@ -57,11 +57,13 @@ def dispatch_attention(
     """
     cfg = get_config()
     seq = max(q.shape[1], k.shape[1])
+    tokens = q.shape[0] * seq
     if (
         need_weights
         or mask is not None
         or bias is not None
         or seq < cfg.flash_threshold
+        or tokens < cfg.flash_min_tokens
     ):
         return fused_attention(
             q,
