@@ -32,6 +32,7 @@ from ..models.gpt2 import GPT2Config
 from ..models.gpt2_serving import KVPages, _pages_to_scan_tree, decode_step, prefill_step
 from ..utils.exceptions import KVCacheError
 from ..utils.logging import get_logger
+from .native_sched import make_scheduler
 
 
 def _model_adapter(cfg):
@@ -137,6 +138,7 @@ class _Sequence:
     page_ids: List[int] = dataclasses.field(default_factory=list)
     alloc_id: Optional[int] = None  # allocator-side sequence handle
     slot: Optional[int] = None  # decode batch slot
+    priority: int = 0
     done: bool = False
     submitted_at: float = dataclasses.field(default_factory=time.time)
     finished_at: Optional[float] = None
@@ -180,7 +182,9 @@ class ServingEngine:
         self._alloc = _make_allocator(num_pages, page_size, max_pages_per_seq)
         self._slots: List[Optional[int]] = [None] * max_batch  # slot -> seq_id
         self._sequences: Dict[int, _Sequence] = {}
-        self._waiting: List[int] = []
+        # Admission queue: native C++ priority scheduler when available
+        # (FIFO within priority, wait-time percentiles).
+        self._sched = make_scheduler()
         self._next_id = 0
         # stats
         self._prefill_tokens = 0
@@ -191,8 +195,14 @@ class ServingEngine:
 
     # -- admission ---------------------------------------------------------
 
-    def submit(self, prompt_ids: Sequence[int], max_new_tokens: int = 16) -> int:
-        """Queue a request (reference submit_task :252)."""
+    def submit(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int = 16,
+        priority: int = 0,
+    ) -> int:
+        """Queue a request (reference submit_task :252). Higher
+        ``priority`` admits first; FIFO within a priority level."""
         if len(prompt_ids) + max_new_tokens > self.max_pages_per_seq * self.page_size:
             raise KVCacheError("request exceeds max sequence capacity")
         seq = _Sequence(
@@ -200,11 +210,19 @@ class ServingEngine:
             tokens=list(map(int, prompt_ids)),
             prompt_len=len(prompt_ids),
             max_new_tokens=max_new_tokens,
+            priority=priority,
         )
         self._next_id += 1
         self._sequences[seq.seq_id] = seq
-        self._waiting.append(seq.seq_id)
+        self._sched.submit(seq.seq_id, priority)
         return seq.seq_id
+
+    def cancel(self, seq_id: int) -> bool:
+        """Drop a still-waiting request (admitted ones run to term)."""
+        if self._sched.cancel(seq_id):
+            self._sequences.pop(seq_id, None)
+            return True
+        return False
 
     def _pages_needed(self, tokens: int) -> int:
         return -(-tokens // self.page_size)
@@ -212,16 +230,18 @@ class ServingEngine:
     def _try_admit(self) -> None:
         """Move waiting sequences into free slots when pages suffice."""
         for slot in range(self.max_batch):
-            if self._slots[slot] is not None or not self._waiting:
+            if self._slots[slot] is not None:
                 continue
-            sid = self._waiting[0]
+            sid = self._sched.peek()
+            if sid is None:
+                break
             seq = self._sequences[sid]
             total_tokens = seq.prompt_len + seq.max_new_tokens
             try:
                 seq.alloc_id = self._alloc.allocate_sequence(total_tokens)
             except KVCacheError:
-                break  # FIFO head blocked; wait for pages
-            self._waiting.pop(0)
+                break  # queue head blocked; wait for pages
+            self._sched.pop(sid)
             seq.page_ids = self._alloc.page_ids(seq.alloc_id)
             seq.slot = slot
             self._slots[slot] = sid
@@ -387,7 +407,7 @@ class ServingEngine:
                 "eos_token_id": self.eos_token_id,
             },
             "next_id": self._next_id,
-            "waiting": list(self._waiting),
+            "waiting": self._sched.waiting_ids(),
             "slots": list(self._slots),
             "stats": {
                 "prefill_tokens": self._prefill_tokens,
@@ -403,6 +423,7 @@ class ServingEngine:
                     "max_new_tokens": seq.max_new_tokens,
                     "page_ids": seq.page_ids,
                     "slot": seq.slot,
+                    "priority": seq.priority,
                     "done": seq.done,
                 }
                 for sid, seq in self._sequences.items()
@@ -455,7 +476,6 @@ class ServingEngine:
         eng.pages_tree = jax.tree_util.tree_unflatten(treedef, leaves)
 
         eng._next_id = host["next_id"]
-        eng._waiting = list(host["waiting"])
         eng._slots = list(host["slots"])
         st = host["stats"]
         eng._prefill_tokens = st["prefill_tokens"]
@@ -478,6 +498,7 @@ class ServingEngine:
                 max_new_tokens=rec["max_new_tokens"],
                 page_ids=list(rec["page_ids"]),
                 slot=rec["slot"],
+                priority=rec.get("priority", 0),
                 done=rec["done"],
             )
             eng._sequences[sid] = seq
@@ -488,6 +509,11 @@ class ServingEngine:
                 used.update(seq.page_ids)
         alloc._free = [p for p in range(eng.num_pages - 1, 0, -1) if p not in used]
         eng._alloc = alloc
+        # Re-enqueue waiting requests in their saved dequeue order (the
+        # order already reflects priority-then-FIFO, so re-submitting in
+        # sequence with the saved priorities reproduces it exactly).
+        for sid in host["waiting"]:
+            eng._sched.submit(sid, eng._sequences[sid].priority)
         logger.info(
             "restored serving state (%d seqs, %d pages used) from %s",
             len(eng._sequences), len(used), path,
@@ -500,11 +526,13 @@ class ServingEngine:
         """Cluster-status analogue (reference get_cluster_status :731)."""
         return {
             "active": sum(1 for s in self._slots if s is not None),
-            "waiting": len(self._waiting),
+            "waiting": len(self._sched),
             "finished": sum(1 for s in self._sequences.values() if s.done),
             "pages_free": self._alloc.stats()["pages_free"],
             "pages_total": self.num_pages - 1,
             "allocator": type(self._alloc).__name__,
+            "scheduler": type(self._sched).__name__,
+            "queue": self._sched.stats(),
             "kv_dtype": "int8" if self.quantized else "bf16",
         }
 

@@ -151,3 +151,43 @@ class TestServingCheckpoint:
         after = eng2.status()
         assert after["pages_free"] == before["pages_free"]
         assert after["active"] == before["active"]
+
+    def test_priority_admission_order(self, tiny_model, rng):
+        """High-priority requests jump the queue when slots free up
+        (reference priority task queue, distributed_computing.py:252-379)."""
+        cfg, model, variables = tiny_model
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=8, page_size=16, max_batch=1,
+            max_pages_per_seq=2,
+        )
+        prompts = [list(rng.integers(1, cfg.vocab_size, 4)) for _ in range(3)]
+        s_low = eng.submit(prompts[0], max_new_tokens=2, priority=0)
+        eng.step()  # admits s_low into the single slot
+        s_low2 = eng.submit(prompts[1], max_new_tokens=2, priority=0)
+        s_high = eng.submit(prompts[2], max_new_tokens=2, priority=9)
+        finish_order = []
+        for _ in range(40):
+            eng.step()
+            for sid in (s_low, s_low2, s_high):
+                if eng._sequences[sid].done and sid not in finish_order:
+                    finish_order.append(sid)
+            if len(finish_order) == 3:
+                break
+        # high priority admitted before the earlier-submitted low request
+        assert finish_order.index(s_high) < finish_order.index(s_low2)
+        st = eng.status()
+        assert st["queue"]["admitted"] == 3
+
+    def test_cancel_waiting_request(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=8, page_size=16, max_batch=1,
+            max_pages_per_seq=2,
+        )
+        p = list(rng.integers(1, cfg.vocab_size, 4))
+        s1 = eng.submit(p, max_new_tokens=2)
+        eng.step()
+        s2 = eng.submit(p, max_new_tokens=2)
+        assert eng.cancel(s2)
+        assert not eng.cancel(s1)  # already admitted
+        assert eng.status()["queue"]["cancelled"] == 1
