@@ -688,34 +688,61 @@ def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, window, resi
     hkv = k.shape[1]
     group = h // hkv
     skv = k.shape[2]
-    skv_p = round_up(skv, block_kv)
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
     if group > 1:
         # The grad path materializes repeated KV (training only); the
         # primal/inference path never does (native GQA index maps).
-        kp = jnp.repeat(kp, group, axis=1)
-        vp = jnp.repeat(vp, group, axis=1)
-    dq, dk, dv, _ = _flash_bwd(
-        q,
-        kp,
-        vp,
-        o,
-        lse,
-        do,
-        sm_scale=sm_scale,
-        causal=causal,
-        q_true_len=q.shape[2],
-        kv_true_len=skv,
-        block_kv=block_kv,
-        window=window,
-    )
-    dk = dk[:, :, :skv]
-    dv = dv[:, :, :skv]
+        k_in = jnp.repeat(k, group, axis=1)
+        v_in = jnp.repeat(v, group, axis=1)
+    else:
+        k_in, v_in = k, v
+    if _use_pallas_bwd():
+        from .flash_bwd import flash_attention_bwd_pallas
+
+        dq, dk, dv = flash_attention_bwd_pallas(
+            q,
+            k_in,
+            v_in,
+            o,
+            lse,
+            do,
+            sm_scale=sm_scale,
+            causal=causal,
+            interpret=interpret,
+            window=window,
+        )
+    else:
+        skv_p = round_up(skv, block_kv)
+        kp = jnp.pad(k_in, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        vp = jnp.pad(v_in, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        dq, dk, dv, _ = _flash_bwd(
+            q,
+            kp,
+            vp,
+            o,
+            lse,
+            do,
+            sm_scale=sm_scale,
+            causal=causal,
+            q_true_len=q.shape[2],
+            kv_true_len=skv,
+            block_kv=block_kv,
+            window=window,
+        )
+        dk = dk[:, :, :skv]
+        dv = dv[:, :, :skv]
     if group > 1:
         dk = dk.reshape(b, hkv, group, skv, d).sum(2)
         dv = dv.reshape(b, hkv, group, skv, d).sum(2)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _use_pallas_bwd() -> bool:
+    """Pallas backward kernels by default; PFA_XLA_BWD=1 forces the
+    blockwise-XLA fallback (kept for rel-bias table grads, which always
+    take it)."""
+    import os
+
+    return os.environ.get("PFA_XLA_BWD", "0") != "1"
 
 
 _flash_attention_core.defvjp(_flash_core_fwd, _flash_core_bwd)
