@@ -2,6 +2,13 @@
 
 from .flash import flash_attention
 from .fused import fused_attention
+from .nonlinearity import (
+    NonlinearityType,
+    apply_nonlinearity,
+    fused_layer_norm,
+    fused_rms_norm,
+    fused_softmax,
+)
 from .rel_bias import ALiBi, T5RelBias, alibi_slopes, materialize
 from .quantization import (
     QuantizedTensor,
@@ -14,7 +21,12 @@ from .reference import attention_blockwise, attention_reference
 
 __all__ = [
     "ALiBi",
+    "NonlinearityType",
     "QuantizedTensor",
+    "apply_nonlinearity",
+    "fused_layer_norm",
+    "fused_rms_norm",
+    "fused_softmax",
     "T5RelBias",
     "alibi_slopes",
     "materialize",
