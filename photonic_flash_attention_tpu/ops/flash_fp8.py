@@ -189,10 +189,11 @@ def flash_attention_quant(
     """
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
-    if hq != hkv:
-        group = hq // hkv
-        k = jnp.repeat(k, group, axis=2)
-        v = jnp.repeat(v, group, axis=2)
+    if hq % hkv:
+        raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
+    # Native GQA: q-head groups share the kv head via index maps (same
+    # trick as ops/flash.py — no repeated KV payloads or scales in HBM).
+    group = hq // hkv
 
     scale = sm_scale if sm_scale is not None else d ** -0.5
     interp = resolve_interpret(interpret)
@@ -234,11 +235,19 @@ def flash_attention_quant(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d_p), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-            pl.BlockSpec((1, 1, block_kv, d_p), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
-            pl.BlockSpec((1, 1, block_kv, d_p), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+            pl.BlockSpec(
+                (1, 1, block_kv, d_p),
+                lambda b_, h_, qi, ki: (b_, h_ // group, ki, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv, d_p),
+                lambda b_, h_, qi, ki: (b_, h_ // group, ki, 0),
+            ),
             pl.BlockSpec((1, 1, block_q), lambda b_, h_, qi, ki: (b_, h_, qi)),
-            pl.BlockSpec((1, 1, block_kv), lambda b_, h_, qi, ki: (b_, h_, ki)),
-            pl.BlockSpec((1, 1, d_p), lambda b_, h_, qi, ki: (b_, h_, 0)),
+            pl.BlockSpec(
+                (1, 1, block_kv), lambda b_, h_, qi, ki: (b_, h_ // group, ki)
+            ),
+            pl.BlockSpec((1, 1, d_p), lambda b_, h_, qi, ki: (b_, h_ // group, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d_p), lambda b_, h_, qi, ki: (b_, h_, qi, 0)

@@ -72,6 +72,7 @@ class CollectiveTelemetry:
         self._axes: Dict[str, AxisStats] = defaultdict(AxisStats)
         self._lock = threading.RLock()
         self._congestion_events = 0
+        self._last_congestion_log: Dict[str, float] = {}
 
     def record(self, axis: str, op: str, shard_bytes: int, axis_size: int) -> None:
         moved = collective_bytes(op, shard_bytes, axis_size)
@@ -87,10 +88,15 @@ class CollectiveTelemetry:
             st.window_bytes += moved
             if self.utilization(axis) >= CONGESTION_THRESHOLD:
                 self._congestion_events += 1
-                logger.warning(
-                    "axis %s congested (%.0f%% of ICI)", axis,
-                    100 * self.utilization(axis),
-                )
+                # Rate-limit to one log line per window per axis — a hot
+                # collective loop would otherwise emit one warning per call
+                # (observed flooding the multichip dryrun log in round 1).
+                if now - self._last_congestion_log.get(axis, 0.0) > self.WINDOW_S:
+                    self._last_congestion_log[axis] = now
+                    logger.warning(
+                        "axis %s congested (%.0f%% of ICI)", axis,
+                        100 * self.utilization(axis),
+                    )
 
     def utilization(self, axis: str) -> float:
         """Windowed bytes vs ICI capacity (reference link utilization)."""
