@@ -124,9 +124,14 @@ def _flash_quant_kernel(
             q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=acc_t
         ).astype(jnp.float32)
         # Dequant: rank-1 outer product of row scales x col scales (the
-        # photodetector rescale, made exact).
-        qs = qs_ref[0, 0].reshape(block_q, 1)
-        ks = ks_ref[0, 0].reshape(1, block_kv)
+        # photodetector rescale, made exact). Scale layouts are chosen so
+        # each read IS the broadcast shape: qs (block_q, 1) column vector,
+        # ks (1, block_kv) row vector — Mosaic requires the last two block
+        # dims be (8k, 128k) or equal to the array dims, which rules out
+        # flat (1, 1, block) specs (that layout fails TPU lowering; the
+        # CPU interpreter never checks it).
+        qs = qs_ref[0, 0]  # (block_q, 1)
+        ks = ks_ref[0, 0]  # (1, block_kv)
         s = s_raw * (qs * sm_scale) * ks
 
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + ki * block_kv
@@ -159,7 +164,7 @@ def _flash_quant_kernel(
         pv_raw = jax.lax.dot_general(
             p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=acc_t
         ).astype(jnp.float32)
-        vs = vs_ref[0, 0].reshape(1, -1)  # (1, d) per-column V scales
+        vs = vs_ref[0, 0]  # (1, d) per-column V scales
         pv = pv_raw * (vs / qmax)
         acc_scratch[:] = acc_scratch[:] * alpha + pv
 
@@ -213,6 +218,13 @@ def flash_attention_quant(
     q8, qs = _row_block_quantize(qt, qt_dtype, qmax)
     k8, ks = _row_block_quantize(kt, qt_dtype, qmax)
     v8, vs = _col_quantize(vt, qt_dtype, qmax)
+    # TPU-lowerable scale layouts (see kernel comment): q scales as a
+    # column (B, H, S, 1); k scales as a row (B, H, 1, Skv); v scales as
+    # a row (B, H, 1, D). The flat 3D layouts fail Mosaic's block-shape
+    # check on hardware.
+    qs = qs[..., None]
+    ks = ks[:, :, None, :]
+    vs = vs[:, :, None, :]
 
     num_q_blocks = sq_p // block_q
     num_kv_blocks = skv_p // block_kv
@@ -243,11 +255,16 @@ def flash_attention_quant(
                 (1, 1, block_kv, d_p),
                 lambda b_, h_, qi, ki: (b_, h_ // group, ki, 0),
             ),
-            pl.BlockSpec((1, 1, block_q), lambda b_, h_, qi, ki: (b_, h_, qi)),
             pl.BlockSpec(
-                (1, 1, block_kv), lambda b_, h_, qi, ki: (b_, h_ // group, ki)
+                (1, 1, block_q, 1), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
             ),
-            pl.BlockSpec((1, 1, d_p), lambda b_, h_, qi, ki: (b_, h_ // group, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, block_kv),
+                lambda b_, h_, qi, ki: (b_, h_ // group, 0, ki),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, d_p), lambda b_, h_, qi, ki: (b_, h_ // group, 0, 0)
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d_p), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
