@@ -138,6 +138,224 @@ def ring_attention(
     return o.astype(q.dtype)
 
 
+def _ring_fwd_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool,
+    sm_scale: float,
+    block_q: Optional[int],
+    block_kv: Optional[int],
+    interpret: Optional[bool],
+) -> Tuple[jax.Array, jax.Array]:
+    """Ring forward returning (o fp32, lse fp32) — the residual producer."""
+    n = jax.lax.psum(1, axis_name)
+    me = jax.lax.axis_index(axis_name)
+    b, s_local, h, d = q.shape
+
+    flash = functools.partial(
+        flash_attention_with_lse,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_kv=block_kv,
+        interpret=interpret,
+    )
+
+    def full_body(q, kb, vb):
+        o, lse = flash(q, kb, vb, causal=False)
+        return o.astype(jnp.float32), lse
+
+    def diag_body(q, kb, vb):
+        o, lse = flash(q, kb, vb, causal=True)
+        return o.astype(jnp.float32), lse
+
+    def skip_body(q, kb, vb):
+        return (
+            jnp.zeros(q.shape, jnp.float32),
+            jnp.full((b, h, s_local), -jnp.inf, jnp.float32),
+        )
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step_fn(step, carry):
+        o, lse, kb, vb = carry
+        src = jax.lax.rem(me - step + n, n)
+        if causal:
+            idx = jnp.where(src == me, 1, jnp.where(src < me, 0, 2))
+            o_i, lse_i = jax.lax.switch(
+                idx, [full_body, diag_body, skip_body], q, kb, vb
+            )
+        else:
+            o_i, lse_i = full_body(q, kb, vb)
+        o, lse = softmax_merge(o, lse, o_i, lse_i)
+        kb, vb = jax.lax.cond(
+            step < n - 1,
+            lambda kv: (
+                jax.lax.ppermute(kv[0], axis_name, perm),
+                jax.lax.ppermute(kv[1], axis_name, perm),
+            ),
+            lambda kv: kv,
+            (kb, vb),
+        )
+        return o, lse, kb, vb
+
+    o0 = jnp.zeros(q.shape, jnp.float32)
+    lse0 = jnp.full((b, h, s_local), -jnp.inf, jnp.float32)
+    o, lse, _, _ = jax.lax.fori_loop(0, n, step_fn, (o0, lse0, k, v))
+    return o, lse
+
+
+def _make_ring_core(axis_name: str, causal: bool):
+    """Build the differentiable ring-attention primitive for one axis.
+
+    The backward is a second ring pass: dk/dv accumulators travel around
+    the ring WITH their kv block (n rotations bring both home), while dq
+    accumulates on the query's device — the distributed form of the
+    blockwise recompute-from-lse backward in ops/flash.py::_flash_bwd.
+    """
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+    def core(q, k, v, sm_scale, block_q, block_kv, interpret):
+        o, _ = _ring_fwd_with_lse(
+            q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        )
+        return o.astype(q.dtype)
+
+    def core_fwd(q, k, v, sm_scale, block_q, block_kv, interpret):
+        o, lse = _ring_fwd_with_lse(
+            q, k, v, axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        )
+        return o.astype(q.dtype), (q, k, v, o, lse)
+
+    def core_bwd(sm_scale, block_q, block_kv, interpret, res, do):
+        q, k, v, o, lse = res
+        n = jax.lax.psum(1, axis_name)
+        me = jax.lax.axis_index(axis_name)
+        b, s_local, h, d = q.shape
+
+        qf = q.astype(jnp.float32)
+        dof = do.astype(jnp.float32)
+        # di = rowwise <o, do> (B, S, H): constant across kv blocks.
+        di = jnp.sum(o * dof, axis=-1)  # o saved in fp32
+        # lse arrives (B, H, S); broadcast against scores (B, H, Sq, Skv).
+        lse_e = lse[..., None]
+        di_e = di.transpose(0, 2, 1)[..., None]  # (B, H, S, 1)
+        # Fully-masked rows have lse = -inf -> p = 0; make exp well-defined.
+        lse_safe = jnp.where(jnp.isfinite(lse_e), lse_e, 0.0)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (s_local, s_local), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s_local, s_local), 1)
+
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def contribution(src, kb, vb):
+            """(dq_inc, dk_inc, dv_inc) of my q shard vs kv block `src`."""
+            s = (
+                jnp.einsum(
+                    "bqhd,bkhd->bhqk", qf, kb.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                * sm_scale
+            )
+            if causal:
+                # Global positions: rows at me*s_local+i, cols at
+                # src*s_local+j. Per-block: src<me all valid, src==me
+                # lower-triangular, src>me none.
+                tri = col <= row
+                all_valid = jnp.full((s_local, s_local), True)
+                none_valid = jnp.full((s_local, s_local), False)
+                valid = jnp.where(
+                    src == me, tri, jnp.where(src < me, all_valid, none_valid)
+                )
+                p = jnp.where(
+                    valid[None, None],
+                    jnp.exp(s - lse_safe) * jnp.isfinite(lse_e),
+                    0.0,
+                )
+            else:
+                p = jnp.exp(s - lse_safe) * jnp.isfinite(lse_e)
+            dv_inc = jnp.einsum(
+                "bhqk,bqhd->bkhd", p, dof, preferred_element_type=jnp.float32
+            )
+            dp = jnp.einsum(
+                "bqhd,bkhd->bhqk", dof, vb.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - di_e) * sm_scale
+            dq_inc = jnp.einsum(
+                "bhqk,bkhd->bqhd", ds, kb.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            dk_inc = jnp.einsum(
+                "bhqk,bqhd->bkhd", ds, qf, preferred_element_type=jnp.float32
+            )
+            return dq_inc, dk_inc, dv_inc
+
+        def step_fn(step, carry):
+            dq, kb, vb, dkb, dvb = carry
+            src = jax.lax.rem(me - step + n, n)
+            dq_inc, dk_inc, dv_inc = contribution(src, kb, vb)
+            dq = dq + dq_inc
+            dkb = dkb + dk_inc
+            dvb = dvb + dv_inc
+            # Rotate every step (n total): block AND its grad accumulator
+            # arrive back at the block's home device after the loop.
+            rotated = [
+                jax.lax.ppermute(x, axis_name, perm) for x in (kb, vb, dkb, dvb)
+            ]
+            return (dq, *rotated)
+
+        dq0 = jnp.zeros(q.shape, jnp.float32)
+        dk0 = jnp.zeros(k.shape, jnp.float32)
+        dv0 = jnp.zeros(v.shape, jnp.float32)
+        dq, _, _, dk, dv = jax.lax.fori_loop(
+            0, n, step_fn, (dq0, k, v, dk0, dv0)
+        )
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+# Cache: one custom_vjp instance per (axis_name, causal) — rebuilding the
+# closure per call would defeat jit caching.
+_RING_CORES: dict = {}
+
+
+def ring_attention_grad(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Differentiable ring attention — call inside ``shard_map``.
+
+    Same contract as :func:`ring_attention` plus a custom VJP: the
+    backward runs a second ring pass where each kv block's (dk, dv)
+    accumulator rotates with it (n ppermutes bring them home) and dq
+    accumulates locally. Requires Hq == Hkv (no GQA on the grad path).
+    """
+    if k.shape[2] != q.shape[2]:
+        raise ValueError("ring_attention_grad requires Hq == Hkv")
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    key = (axis_name, causal)
+    core = _RING_CORES.get(key)
+    if core is None:
+        core = _RING_CORES.setdefault(key, _make_ring_core(axis_name, causal))
+    return core(q, k, v, scale, block_q, block_kv, interpret)
+
+
 def make_ring_attention(
     mesh: Mesh,
     *,
@@ -148,6 +366,7 @@ def make_ring_attention(
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
+    differentiable: bool = False,
 ):
     """Build a jitted sharded ring-attention callable for ``mesh``.
 
@@ -156,6 +375,10 @@ def make_ring_attention(
     pass None to skip an axis). This is the §16 "head × context" 2D
     pattern: head parallelism needs no communication; the ring runs only
     on the sequence axis.
+
+    ``differentiable=True`` builds on :func:`ring_attention_grad` — the
+    returned callable supports ``jax.grad`` (sequence-parallel training);
+    the backward runs its own ring pass (see ``_make_ring_core``).
     """
     axes = dict(mesh.shape)
     for name in (seq_axis,):
@@ -169,7 +392,7 @@ def make_ring_attention(
     )
 
     fn = functools.partial(
-        ring_attention,
+        ring_attention_grad if differentiable else ring_attention,
         axis_name=seq_axis,
         causal=causal,
         sm_scale=sm_scale,

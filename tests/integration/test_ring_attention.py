@@ -15,6 +15,7 @@ from photonic_flash_attention_tpu.parallel.mesh import create_mesh
 from photonic_flash_attention_tpu.parallel.ring import (
     make_ring_attention,
     ring_attention,
+    ring_attention_grad,
     softmax_merge,
 )
 
@@ -89,6 +90,58 @@ class TestRing2D:
         out = fn(q, k, v)
         ref, _ = attention_reference(q, k, v, causal=True)
         assert_close(out, ref)
+
+
+class TestRingGrad:
+    """Differentiable ring attention vs jax.grad through the oracle."""
+
+    def _ref_grads(self, q, k, v, causal):
+        def loss(q, k, v):
+            o, _ = attention_reference(q, k, v, causal=causal)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("n_seq", [2, 4])
+    def test_grads_match_oracle(self, rng, causal, n_seq):
+        q, k, v = make_qkv(rng, s=64 * n_seq)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=causal,
+            differentiable=True,
+        )
+
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        rq, rk, rv = self._ref_grads(q, k, v, causal)
+        assert_close(dq, rq, rtol=2e-2, atol=2e-3)
+        assert_close(dk, rk, rtol=2e-2, atol=2e-3)
+        assert_close(dv, rv, rtol=2e-2, atol=2e-3)
+
+    def test_forward_matches_inference_path(self, rng):
+        q, k, v = make_qkv(rng, s=256)
+        mesh = create_mesh((4,), ("seq",), jax.devices()[:4])
+        fn_g = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=True,
+            differentiable=True,
+        )
+        fn_i = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=True
+        )
+        assert_close(fn_g(q, k, v), fn_i(q, k, v))
+
+    def test_rejects_gqa(self, rng):
+        q, _, _ = make_qkv(rng, s=128, h=4)
+        _, k, v = make_qkv(rng, s=128, h=2)
+        mesh = create_mesh((2,), ("seq",), jax.devices()[:2])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, differentiable=True
+        )
+        with pytest.raises(ValueError, match="Hq == Hkv"):
+            fn(q, k, v)
 
 
 class TestRingDtypes:
