@@ -192,13 +192,18 @@ def serve_bench(args: argparse.Namespace) -> int:
     for mode, kv_dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
         if args.kv_dtype not in ("both", mode):
             continue
+        pages_per_seq = max(
+            4, -(-(args.prompt_len + args.new_tokens) // args.page_size)
+        )
+        num_pages = args.num_pages or args.batch * pages_per_seq + 8
         eng = ServingEngine(
             cfg,
             variables["params"],
             kv_dtype=kv_dtype,
             max_batch=args.batch,
-            num_pages=args.num_pages,
-            page_size=16,
+            num_pages=num_pages,
+            page_size=args.page_size,
+            max_pages_per_seq=pages_per_seq,
         )
         prompts = [
             [int(t) for t in rng.integers(0, cfg.vocab_size, args.prompt_len)]
@@ -317,7 +322,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     s.add_argument("--batch", type=int, default=8)
     s.add_argument("--prompt-len", type=int, default=128)
     s.add_argument("--new-tokens", type=int, default=64)
-    s.add_argument("--num-pages", type=int, default=1024)
+    # None = auto-size: batch * pages-per-seq + slack (a 1024-page pool of
+    # 128-token pages would be ~5 GB of bf16 KV for GPT-2 small).
+    s.add_argument("--num-pages", type=int, default=None)
+    # 128-token pages activate the Pallas DMA decode kernel on TPU
+    # (token-minor page slices must be 128-lane aligned, see ops/paged.py);
+    # smaller pages fall back to the XLA gather path.
+    s.add_argument("--page-size", type=int, default=128)
     s.add_argument("--kv-dtype", choices=("bf16", "int8", "both"), default="both")
     s.add_argument("--output", "-o", default=None)
     s.set_defaults(fn=serve_bench)

@@ -160,8 +160,11 @@ class ServingEngine:
         cfg,
         params: Dict,
         *,
-        num_pages: int = 512,
-        page_size: int = 16,
+        # 128-token pages: the token-minor Pallas decode kernel needs
+        # 128-lane-aligned page slices on TPU (ops/paged.py); smaller
+        # pages silently use the XLA gather path instead.
+        num_pages: int = 128,
+        page_size: int = 128,
         max_batch: int = 8,
         max_pages_per_seq: int = 64,
         kv_dtype=jnp.bfloat16,

@@ -13,8 +13,10 @@ Both operate directly on the ``GPT2LMHead`` parameter pytree (scanned
 layout: layer params stacked on a leading (L,) axis) via ``lax.scan``
 over layers, so the compiled program holds one layer body.
 
-Cache layout (all layers in one array for single-scatter updates):
-  k_pages/v_pages: (L, Hkv, num_pages, page_size, D)
+Cache layout (all layers in one array for single-scatter updates),
+token-minor so the Pallas decode kernel can DMA 128-aligned page slices
+(see ops/paged.py):
+  k_pages/v_pages: (L, Hkv, num_pages, D, page_size)
   k_scales/v_scales: (L, Hkv, num_pages, page_size) fp32 (int8 mode)
 
 Host-side page tables live in :class:`..core.serving.ServingEngine`.
@@ -30,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
-from ..ops.paged import paged_attention_xla
+from ..ops.paged import paged_attention_auto
 from ..ops.pallas_utils import resolve_interpret
 from .gpt2 import GPT2Config
 
@@ -42,7 +44,7 @@ INT8_MAX = 127.0
 class KVPages:
     """Device-side paged KV store for all layers."""
 
-    k: jax.Array  # (L, Hkv, P, page, D)
+    k: jax.Array  # (L, Hkv, P, D, page)
     v: jax.Array
     k_scales: Optional[jax.Array]  # (L, Hkv, P, page) or None
     v_scales: Optional[jax.Array]
@@ -63,7 +65,7 @@ class KVPages:
         cfg: GPT2Config, num_pages: int, page_size: int, dtype=jnp.bfloat16
     ) -> "KVPages":
         head_dim = cfg.n_embd // cfg.n_head
-        shape = (cfg.n_layer, cfg.n_head, num_pages, page_size, head_dim)
+        shape = (cfg.n_layer, cfg.n_head, num_pages, head_dim, page_size)
         quant = dtype == jnp.int8
         sshape = (cfg.n_layer, cfg.n_head, num_pages, page_size)
         return KVPages(
@@ -97,38 +99,31 @@ def _quant_tokens(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _write_tokens(layer_sel, k_new, v_new, flat_slots, quantized):
-    """Scatter new tokens into the flattened (P*page) token axis.
+    """Scatter new tokens into their (page, offset) slots.
 
-    layer_sel: dict of this layer's page arrays (Hkv, P, page, D) as
+    layer_sel: dict of this layer's page arrays (Hkv, P, D, page) as
     carried through the layer scan. k_new/v_new: (N, Hkv, D);
     flat_slots: (N,) int32 page_id*page_size + offset.
+
+    Token-minor layout: a token is the column ``[:, pid, :, off]``.
+    Non-adjacent advanced indices move to the front (numpy rule), so the
+    scatter value shape is (N, Hkv, D) — ``k_new`` as-is.
     """
-    hkv, p, page, d = layer_sel["k"].shape
-    kf = layer_sel["k"].reshape(hkv, p * page, d)
-    vf = layer_sel["v"].reshape(hkv, p * page, d)
+    hkv, p, d, page = layer_sel["k"].shape
+    pids = flat_slots // page
+    offs = flat_slots % page
     if quantized:
         k8, ks = _quant_tokens(k_new)
         v8, vs = _quant_tokens(v_new)
-        kf = kf.at[:, flat_slots].set(k8.transpose(1, 0, 2))
-        vf = vf.at[:, flat_slots].set(v8.transpose(1, 0, 2))
-        ksf = layer_sel["ks"].reshape(hkv, p * page)
-        vsf = layer_sel["vs"].reshape(hkv, p * page)
-        ksf = ksf.at[:, flat_slots].set(ks.T)
-        vsf = vsf.at[:, flat_slots].set(vs.T)
-        return {
-            "k": kf.reshape(hkv, p, page, d),
-            "v": vf.reshape(hkv, p, page, d),
-            "ks": ksf.reshape(hkv, p, page),
-            "vs": vsf.reshape(hkv, p, page),
-        }
-    kf = kf.at[:, flat_slots].set(k_new.transpose(1, 0, 2).astype(kf.dtype))
-    vf = vf.at[:, flat_slots].set(v_new.transpose(1, 0, 2).astype(vf.dtype))
-    return {
-        "k": kf.reshape(hkv, p, page, d),
-        "v": vf.reshape(hkv, p, page, d),
-        "ks": layer_sel["ks"],
-        "vs": layer_sel["vs"],
-    }
+        kf = layer_sel["k"].at[:, pids, :, offs].set(k8)
+        vf = layer_sel["v"].at[:, pids, :, offs].set(v8)
+        # Adjacent advanced indices stay in place: value shape (Hkv, N).
+        ksf = layer_sel["ks"].at[:, pids, offs].set(ks.T)
+        vsf = layer_sel["vs"].at[:, pids, offs].set(vs.T)
+        return {"k": kf, "v": vf, "ks": ksf, "vs": vsf}
+    kf = layer_sel["k"].at[:, pids, :, offs].set(k_new.astype(layer_sel["k"].dtype))
+    vf = layer_sel["v"].at[:, pids, :, offs].set(v_new.astype(layer_sel["v"].dtype))
+    return {"k": kf, "v": vf, "ks": layer_sel["ks"], "vs": layer_sel["vs"]}
 
 
 def _pages_to_scan_tree(pages: KVPages) -> Dict[str, jax.Array]:
@@ -248,7 +243,7 @@ def decode_step(
         kh = k.reshape(b, h, d)
         vh = v.reshape(b, h, d)
         cache_l = _write_tokens(cache_l, kh, vh, flat_slots, quantized)
-        attn = paged_attention_xla(
+        attn = paged_attention_auto(
             q.reshape(b, h, d).astype(jnp.float32),
             cache_l["k"],
             cache_l["v"],

@@ -11,8 +11,9 @@ step structure, with the family's architectural differences:
   (not ``num_attention_heads``) — the KV memory saving GQA exists for —
   and the paged-attention read broadcasts query-head groups natively.
 
-Cache layout: k/v (L, Hkv, num_pages, page_size, D); optional per-token
-INT8 scales. Host-side page tables live in the serving engine.
+Cache layout: k/v (L, Hkv, num_pages, D, page_size) — token-minor, see
+ops/paged.py — with optional per-token INT8 scales. Host-side page
+tables live in the serving engine.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
-from ..ops.paged import paged_attention_xla
+from ..ops.paged import paged_attention_auto
 from .gpt2_serving import _write_tokens
 from .llama import LlamaConfig, apply_rope, rope_cos_sin
 
@@ -47,11 +48,11 @@ def create_llama_pages(
         cfg.num_hidden_layers,
         cfg.num_key_value_heads,
         num_pages,
-        page_size,
         cfg.head_dim,
+        page_size,
     )
     quant = dtype == jnp.int8
-    sshape = shape[:-1]
+    sshape = (cfg.num_hidden_layers, cfg.num_key_value_heads, num_pages, page_size)
     dummy = jnp.zeros((cfg.num_hidden_layers, 1, 1, 1), jnp.float32)
     return {
         "k": jnp.zeros(shape, dtype),
@@ -152,7 +153,7 @@ def llama_decode_step(
         k = apply_rope(k, cos, sin)[:, 0]  # (B, Hkv, D)
         v = v[:, 0]
         cache_l = _write_tokens(cache_l, k, v, flat_slots, quantized)
-        attn = paged_attention_xla(
+        attn = paged_attention_auto(
             q.astype(jnp.float32),
             cache_l["k"],
             cache_l["v"],

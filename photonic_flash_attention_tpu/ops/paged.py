@@ -6,6 +6,16 @@ core/memory_manager.py pool + core/flash_attention_3.py kernel), in the
 shape TPU serving actually needs: one query token per sequence attending
 over a *paged, possibly INT8-quantized* KV cache.
 
+Page layout: **token-minor** ``(num_kv_heads, num_pages, head_dim,
+page_size)`` — the head_dim runs over sublanes and tokens over lanes.
+This is the layout the TPU memory system requires: a per-page DMA slice
+is ``(head_dim, page_size)`` whose minor dimension is the 128-aligned
+page size. (The token-major ``(…, page_size, head_dim)`` convention
+fails Mosaic lowering for head_dim 64: HBM slices must be 128-aligned in
+the minor dimension.) It is also matmul-native: Q·K is a plain
+``(G, D) @ (D, tokens)`` contraction and P·V uses the A·Bᵀ dot form —
+no in-kernel transposes exist.
+
 Two implementations:
 
 * ``paged_attention_xla`` — gather-based XLA fallback (oracle + CPU path).
@@ -13,13 +23,15 @@ Two implementations:
   async-DMAs one block of pages into VMEM with double buffering (next
   block's DMA overlaps current block's compute), online softmax across
   blocks, per-token INT8 dequant fused after the gather. The page list is
-  scalar-prefetched so DMA addresses are known before the kernel body
-  (cf. the JAX paged-attention design it parallels).
+  scalar-prefetched so DMA addresses are known before the kernel body.
+  Requires ``page_size % 128 == 0`` on hardware.
+* ``paged_attention_auto`` — picks the Pallas kernel on TPU when the
+  layout allows it, the XLA fallback otherwise.
 
 Shapes:
   q:            (B, Hq, D)           one token per sequence
-  k_pages:      (Hkv, P, page, D)
-  v_pages:      (Hkv, P, page, D)
+  k_pages:      (Hkv, P, D, page)
+  v_pages:      (Hkv, P, D, page)
   lengths:      (B,) int32           tokens valid per sequence
   page_indices: (B, pages_per_seq) int32
   k_scales/v_scales: (Hkv, P, page) fp32 when payload is int8
@@ -52,31 +64,32 @@ def paged_attention_xla(
 ) -> jax.Array:
     """Gather-based paged attention (XLA). Returns (B, Hq, D)."""
     b, hq, d = q.shape
-    hkv, _, page, _ = k_pages.shape
+    hkv, _, _, page = k_pages.shape
     group = hq // hkv
     pages_per_seq = page_indices.shape[1]
+    s_total = pages_per_seq * page
     scale = sm_scale if sm_scale is not None else d ** -0.5
 
-    # Gather pages: (B, Hkv, pages_per_seq, page, D) -> (B, Hkv, S, D)
+    # Gather pages: (Hkv, B, pages_per_seq, D, page) -> (B, Hkv, D, S)
     def gather(pages, scales):
-        g = pages[:, page_indices]  # (Hkv, B, pages_per_seq, page, D)
-        g = g.transpose(1, 0, 2, 3, 4).reshape(b, hkv, pages_per_seq * page, d)
+        g = pages[:, page_indices]  # (Hkv, B, pages_per_seq, D, page)
+        g = g.transpose(1, 0, 3, 2, 4).reshape(b, hkv, d, s_total)
         g = g.astype(jnp.float32)
         if scales is not None:
-            sc = scales[:, page_indices].transpose(1, 0, 2, 3)
-            g = g * sc.reshape(b, hkv, pages_per_seq * page, 1)
+            sc = scales[:, page_indices].transpose(1, 0, 2, 3)  # (B,Hkv,pps,page)
+            g = g * sc.reshape(b, hkv, 1, s_total)
         return g
 
     k = gather(k_pages, k_scales)
     v = gather(v_pages, v_scales)
 
     qf = q.astype(jnp.float32).reshape(b, hkv, group, d) * scale
-    s = jnp.einsum("bhgd,bhsd->bhgs", qf, k)
-    pos = jnp.arange(pages_per_seq * page, dtype=jnp.int32)
+    s = jnp.einsum("bhgd,bhds->bhgs", qf, k)
+    pos = jnp.arange(s_total, dtype=jnp.int32)
     valid = pos[None] < lengths[:, None]  # (B, S)
     s = jnp.where(valid[:, None, None], s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgs,bhsd->bhgd", p, v)
+    o = jnp.einsum("bhgs,bhds->bhgd", p, v)
     return o.reshape(b, hq, d).astype(q.dtype)
 
 
@@ -91,9 +104,9 @@ def _paged_kernel(
     page_indices_ref,  # (B * pages_per_seq,) SMEM (flattened)
     # inputs
     q_ref,  # (1, 1, G_pad, D) VMEM
-    k_pages_hbm,  # (Hkv, P, page, D) ANY/HBM
+    k_pages_hbm,  # (Hkv, P, D, page) ANY/HBM
     v_pages_hbm,
-    k_scales_hbm,  # (Hkv, P, page) or None
+    k_scales_hbm,  # (Hkv, P, 1, page) or dummy
     v_scales_hbm,
     # output
     o_ref,  # (1, 1, G_pad, D) VMEM
@@ -101,10 +114,10 @@ def _paged_kernel(
     m_scratch,  # (G_pad, 128)
     l_scratch,
     acc_scratch,  # (G_pad, D)
-    k_buf,  # (2, pages_per_block, page, D)
+    k_buf,  # (2, D, block_tokens)
     v_buf,
-    ks_buf,  # (2, pages_per_block, page) or dummy
-    vs_buf,
+    ks_buf,  # (2, 1, block_tokens): full-(1, page) DMA tiles — a
+    vs_buf,  # sub-sublane slice of a taller buffer fails Mosaic DMA
     sems,  # DMA sems (2, 2, 2): [slot][k/v][payload/scale]
     *,
     sm_scale: float,
@@ -125,43 +138,55 @@ def _paged_kernel(
         for i in range(pages_per_block):
             flat = b * pages_per_seq + block_idx * pages_per_block + i
             page_id = page_indices_ref[flat]
+            lanes = pl.ds(i * page_size, page_size)
             pltpu.make_async_copy(
-                k_pages_hbm.at[h, page_id], k_buf.at[slot, i], sems.at[slot, 0, 0]
+                k_pages_hbm.at[h, page_id],  # (D, page)
+                k_buf.at[slot, :, lanes],
+                sems.at[slot, 0, 0],
             ).start()
             pltpu.make_async_copy(
-                v_pages_hbm.at[h, page_id], v_buf.at[slot, i], sems.at[slot, 1, 0]
+                v_pages_hbm.at[h, page_id],
+                v_buf.at[slot, :, lanes],
+                sems.at[slot, 1, 0],
             ).start()
             if quantized:
                 pltpu.make_async_copy(
-                    k_scales_hbm.at[h, page_id], ks_buf.at[slot, i], sems.at[slot, 0, 1]
+                    k_scales_hbm.at[h, page_id],  # (1, page)
+                    ks_buf.at[slot, :, lanes],
+                    sems.at[slot, 0, 1],
                 ).start()
                 pltpu.make_async_copy(
-                    v_scales_hbm.at[h, page_id], vs_buf.at[slot, i], sems.at[slot, 1, 1]
+                    v_scales_hbm.at[h, page_id],
+                    vs_buf.at[slot, :, lanes],
+                    sems.at[slot, 1, 1],
                 ).start()
 
     def wait_dma(slot, which):
-        pltpu.make_async_copy(
-            k_pages_hbm.at[h, 0], k_buf.at[slot, 0], sems.at[slot, which, 0]
-        )  # shape-only handle
-        # Wait for all page copies on this slot/stream.
+        # Wait for all page copies on this slot/stream (each page's copy
+        # signals the same semaphore once).
+        lanes0 = pl.ds(0, page_size)
         for _ in range(pages_per_block):
             if which == 0:
                 pltpu.make_async_copy(
-                    k_pages_hbm.at[h, 0], k_buf.at[slot, 0], sems.at[slot, 0, 0]
+                    k_pages_hbm.at[h, 0], k_buf.at[slot, :, lanes0], sems.at[slot, 0, 0]
                 ).wait()
             else:
                 pltpu.make_async_copy(
-                    v_pages_hbm.at[h, 0], v_buf.at[slot, 0], sems.at[slot, 1, 0]
+                    v_pages_hbm.at[h, 0], v_buf.at[slot, :, lanes0], sems.at[slot, 1, 0]
                 ).wait()
         if quantized:
             for _ in range(pages_per_block):
                 if which == 0:
                     pltpu.make_async_copy(
-                        k_scales_hbm.at[h, 0], ks_buf.at[slot, 0], sems.at[slot, 0, 1]
+                        k_scales_hbm.at[h, 0],
+                        ks_buf.at[slot, :, lanes0],
+                        sems.at[slot, 0, 1],
                     ).wait()
                 else:
                     pltpu.make_async_copy(
-                        v_scales_hbm.at[h, 0], vs_buf.at[slot, 0], sems.at[slot, 1, 1]
+                        v_scales_hbm.at[h, 0],
+                        vs_buf.at[slot, :, lanes0],
+                        sems.at[slot, 1, 1],
                     ).wait()
 
     slot = jax.lax.rem(blk, 2)
@@ -186,12 +211,12 @@ def _paged_kernel(
         wait_dma(slot, 0)  # K ready
         g_pad, d = q_ref.shape[2], q_ref.shape[3]
         q = q_ref[0, 0].astype(jnp.float32)  # (G_pad, D)
-        k = k_buf[slot].reshape(block_tokens, d).astype(jnp.float32)
+        k = k_buf[slot].astype(jnp.float32)  # (D, block_tokens)
         if quantized:
-            k = k * ks_buf[slot].reshape(block_tokens, 1)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # (G_pad, block_tokens)
+            k = k * ks_buf[slot, :1]  # per-token scales broadcast over D rows
+        # (G, D) @ (D, T): contraction over head_dim — matmul-native in the
+        # token-minor layout.
+        s = jax.lax.dot(q, k, preferred_element_type=jnp.float32) * sm_scale
 
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, (g_pad, block_tokens), 1)
@@ -210,10 +235,15 @@ def _paged_kernel(
         l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
 
         wait_dma(slot, 1)  # V ready
-        v = v_buf[slot].reshape(block_tokens, d).astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)  # (D, block_tokens)
         if quantized:
-            v = v * vs_buf[slot].reshape(block_tokens, 1)
-        pv = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+            # Fold V's per-token scales into P (cheaper: G rows vs D rows).
+            p = p * vs_buf[slot, :1]
+        # (G, T) x (D, T) contracting T lanes on both — the A·Bᵀ dot form
+        # (same dimension_numbers the flash kernel's QKᵀ uses).
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G_pad, D)
         acc_scratch[:] = acc_scratch[:] * alpha + pv
 
     @pl.when(blk == num_blocks - 1)
@@ -236,18 +266,27 @@ def paged_attention(
     pages_per_block: int = 4,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Pallas paged-attention decode. Returns (B, Hq, D) in q.dtype."""
+    """Pallas paged-attention decode. Returns (B, Hq, D) in q.dtype.
+
+    Hardware requires ``page_size % 128 == 0`` (token-minor pages put
+    tokens on lanes); interpreter mode accepts any size.
+    """
     b, hq, d = q.shape
-    hkv, num_pages, page_size, _ = k_pages.shape
+    hkv, num_pages, _, page_size = k_pages.shape
     group = hq // hkv
     pages_per_seq = page_indices.shape[1]
+    interp = resolve_interpret(interpret)
+    if page_size % 128 and not interp:
+        raise ValueError(
+            f"paged_attention on TPU requires page_size % 128 == 0, got "
+            f"{page_size}; use paged_attention_xla or a 128-token page pool"
+        )
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
         pages_per_seq += pad
     num_blocks = pages_per_seq // pages_per_block
     scale = sm_scale if sm_scale is not None else d ** -0.5
-    interp = resolve_interpret(interpret)
     quantized = k_scales is not None
 
     # Pad the per-kv-head query group to the fp32 sublane minimum (8).
@@ -265,8 +304,14 @@ def paged_attention(
         quantized=quantized,
     )
 
+    block_tokens = pages_per_block * page_size
     sdtype = jnp.float32
-    dummy_scales = jnp.zeros((1, 1, 1), sdtype)
+    # Scales travel as (Hkv, P, 1, page) so each per-page DMA is a full
+    # (1, page) tile (see kernel comment).
+    if quantized:
+        k_scales = k_scales.reshape(hkv, num_pages, 1, page_size)
+        v_scales = v_scales.reshape(hkv, num_pages, 1, page_size)
+    dummy_scales = jnp.zeros((1, 1, 1, 128), sdtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, hkv, num_blocks),
@@ -286,10 +331,10 @@ def paged_attention(
             pltpu.VMEM((g_pad, 128), jnp.float32),
             pltpu.VMEM((g_pad, 128), jnp.float32),
             pltpu.VMEM((g_pad, d), jnp.float32),
-            pltpu.VMEM((2, pages_per_block, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, pages_per_block, page_size, d), v_pages.dtype),
-            pltpu.VMEM((2, pages_per_block, page_size), sdtype),
-            pltpu.VMEM((2, pages_per_block, page_size), sdtype),
+            pltpu.VMEM((2, d, block_tokens), k_pages.dtype),
+            pltpu.VMEM((2, d, block_tokens), v_pages.dtype),
+            pltpu.VMEM((2, 1, block_tokens), sdtype),
+            pltpu.VMEM((2, 1, block_tokens), sdtype),
             pltpu.SemaphoreType.DMA((2, 2, 2)),
         ],
     )
@@ -312,3 +357,35 @@ def paged_attention(
         v_scales if quantized else dummy_scales,
     )
     return out[:, :, :group].reshape(b, hq, d)
+
+
+def paged_attention_auto(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    k_scales: Optional[jax.Array] = None,
+    v_scales: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    pages_per_block: int = 4,
+) -> jax.Array:
+    """Backend-aware dispatch: the Pallas DMA kernel on TPU when the page
+    layout allows it (page_size % 128 == 0), the XLA gather otherwise.
+
+    The choice happens at trace time (shapes/backend are static under
+    jit), mirroring the engine's kernel registry dispatch
+    (core/engine.py) for the decode path.
+    """
+    page_size = k_pages.shape[-1]
+    if jax.default_backend() == "tpu" and page_size % 128 == 0:
+        return paged_attention(
+            q, k_pages, v_pages, lengths, page_indices, k_scales, v_scales,
+            sm_scale=sm_scale, pages_per_block=pages_per_block,
+            interpret=False,
+        )
+    return paged_attention_xla(
+        q, k_pages, v_pages, lengths, page_indices, k_scales, v_scales,
+        sm_scale=sm_scale,
+    )
