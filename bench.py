@@ -84,9 +84,10 @@ def main() -> None:
     )
     print(f"baseline {t_naive*1e3:.3f} ms", file=sys.stderr, flush=True)
 
-    # Flash kernel at the tuned default block sizes (1024 x 1024, measured
-    # best on v5e by the same fit methodology — see ops/flash.py).
-    bq, bkv = 1024, 1024
+    # Flash kernel at the tuned default block sizes (512 x 512, measured
+    # best on v5e by the same fit methodology after the lane-replicated
+    # running-stats rewrite — see ops/flash.py).
+    bq, bkv = 512, 512
     t_flash = _bench(
         lambda q, k, v: flash_attention(
             q, k, v, causal=True, block_q=bq, block_kv=bkv

@@ -145,15 +145,18 @@ def _flash_quant_kernel(
             valid = jnp.logical_and(valid, col <= row)
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[:, :1]
-        l_prev = l_scratch[:, :1]
+        # Lane-replicated running stats (see ops/flash.py: one
+        # lane-broadcast per tile instead of 4-5 — measured 2x on v5e).
+        m_prev = m_scratch[:]  # [block_q, 128]
+        l_prev = l_scratch[:]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
+        rep = block_kv // NUM_LANES
+        p = jnp.exp(s - (m_next if rep == 1 else jnp.tile(m_next, (1, rep))))
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
+        m_scratch[:] = m_next
+        l_scratch[:] = l_next
 
         # Re-quantize P (in [0,1]) for the P.V matmul.
         if qdtype == jnp.int8:
@@ -166,13 +169,21 @@ def _flash_quant_kernel(
         ).astype(jnp.float32)
         vs = vs_ref[0, 0]  # (1, d) per-column V scales
         pv = pv_raw * (vs / qmax)
-        acc_scratch[:] = acc_scratch[:] * alpha + pv
+        d_ = acc_scratch.shape[-1]
+        alpha_d = alpha[:, :d_] if d_ <= NUM_LANES else jnp.tile(
+            alpha, (1, d_ // NUM_LANES)
+        )
+        acc_scratch[:] = acc_scratch[:] * alpha_d + pv
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
-        l_fin = l_scratch[:, :1]
+        l_fin = l_scratch[:]
         l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        o_ref[0, 0] = (acc_scratch[:] * l_inv).astype(o_ref.dtype)
+        d_ = acc_scratch.shape[-1]
+        l_inv_d = l_inv[:, :d_] if d_ <= NUM_LANES else jnp.tile(
+            l_inv, (1, d_ // NUM_LANES)
+        )
+        o_ref[0, 0] = (acc_scratch[:] * l_inv_d).astype(o_ref.dtype)
 
 
 def flash_attention_quant(
