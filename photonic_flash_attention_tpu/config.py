@@ -51,9 +51,11 @@ class GlobalConfig:
     #: block size (tokens) for per-block quantization scales.
     quant_block_size: int = 128
 
-    # --- kernel tiling defaults (autotuner may override per-shape) ---
+    # --- kernel tiling defaults (autotuner may override per-shape;
+    # 512x512 measured best on v5e after the lane-replicated-stats
+    # kernel rewrite — see ops/flash.py) ---
     block_q: int = 512
-    block_kv: int = 1024
+    block_kv: int = 512
     #: paged KV-cache page size in tokens.
     page_size: int = 128
 

@@ -326,14 +326,31 @@ def flash_attention_bwd_pallas(
     num_q_blocks = sq_p // block_q
     num_kv_blocks = skv_p // block_kv
 
+    kv_off_idx = skv - sq
+    if causal and window is None:
+        # Skip-aware prefetch (same trick as the forward kernel): in the
+        # dkv grid (kv-major, q innermost) the skipped steps are the
+        # leading q blocks above the diagonal — redirect their q/do/lse/di
+        # DMA to the first q block this kv block will actually use.
+        def q_block_index(i, j):
+            first = jnp.maximum((i * block_kv - kv_off_idx) // block_q, 0)
+            return jax.lax.select(
+                i * block_kv <= (j + 1) * block_q - 1 + kv_off_idx, j, first
+            )
+
+    else:
+        q_block_index = lambda i, j: j  # noqa: E731
+
     qspec = pl.BlockSpec(
-        (1, 1, block_q, d_p), lambda b_, h_, i, j: (b_, h_, j, 0)
+        (1, 1, block_q, d_p),
+        lambda b_, h_, i, j: (b_, h_, q_block_index(i, j), 0),
     )
     kvspec_dkv = pl.BlockSpec(
         (1, 1, block_kv, d_p), lambda b_, h_, i, j: (b_, h_, i, 0)
     )
     rowspec = pl.BlockSpec(
-        (1, 1, 1, block_q), lambda b_, h_, i, j: (b_, h_, 0, j)
+        (1, 1, 1, block_q),
+        lambda b_, h_, i, j: (b_, h_, 0, q_block_index(i, j)),
     )
 
     dkv_kernel = functools.partial(
@@ -374,11 +391,24 @@ def flash_attention_bwd_pallas(
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, dip)
 
+    if causal and window is None:
+        # dq grid (q-major, kv innermost): skipped steps are the trailing
+        # kv blocks past the diagonal — redirect their DMA to block 0,
+        # the first block the next q row needs.
+        def kv_block_index(i, j):
+            return jax.lax.select(
+                j * block_kv <= (i + 1) * block_q - 1 + kv_off_idx, j, 0
+            )
+
+    else:
+        kv_block_index = lambda i, j: j  # noqa: E731
+
     qspec_dq = pl.BlockSpec(
         (1, 1, block_q, d_p), lambda b_, h_, i, j: (b_, h_, i, 0)
     )
     kvspec_dq = pl.BlockSpec(
-        (1, 1, block_kv, d_p), lambda b_, h_, i, j: (b_, h_, j, 0)
+        (1, 1, block_kv, d_p),
+        lambda b_, h_, i, j: (b_, h_, kv_block_index(i, j), 0),
     )
     rowspec_dq = pl.BlockSpec(
         (1, 1, 1, block_q), lambda b_, h_, i, j: (b_, h_, 0, i)
