@@ -196,39 +196,52 @@ def serve_bench(args: argparse.Namespace) -> int:
             4, -(-(args.prompt_len + args.new_tokens) // args.page_size)
         )
         num_pages = args.num_pages or args.batch * pages_per_seq + 8
-        eng = ServingEngine(
-            cfg,
-            variables["params"],
-            kv_dtype=kv_dtype,
-            max_batch=args.batch,
-            num_pages=num_pages,
-            page_size=args.page_size,
-            max_pages_per_seq=pages_per_seq,
-        )
         prompts = [
             [int(t) for t in rng.integers(0, cfg.vocab_size, args.prompt_len)]
             for _ in range(args.batch)
         ]
-        for p in prompts:
-            eng.submit(p, args.new_tokens)
-        # Step 1 performs admission + all prefills.
-        t0 = time.perf_counter()
-        eng.step()
-        t_prefill = time.perf_counter() - t0
-        # Steady-state decode.
-        steps = 0
-        t0 = time.perf_counter()
-        while eng.step() > 0:
-            steps += 1
-        t_decode = time.perf_counter() - t0
-        decoded = args.batch * args.new_tokens
+
+        def one_pass():
+            """Full generate pass; returns (prefill_s, decode_s, steps)."""
+            eng = ServingEngine(
+                cfg,
+                variables["params"],
+                kv_dtype=kv_dtype,
+                max_batch=args.batch,
+                num_pages=num_pages,
+                page_size=args.page_size,
+                max_pages_per_seq=pages_per_seq,
+            )
+            for p in prompts:
+                eng.submit(p, args.new_tokens)
+            t0 = time.perf_counter()
+            eng.step()  # admission + all prefills (+ first decode window)
+            t_prefill = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            while eng.step() > 0:
+                pass
+            t_decode = time.perf_counter() - t0
+            st = eng.get_performance_stats()
+            return t_prefill, t_decode, st
+
+        # Pass 1 pays XLA compiles (prefill buckets, decode windows);
+        # pass 2 reuses the in-process jit cache — report steady state.
+        one_pass()
+        t_prefill, t_decode, st = one_pass()
+        # Engine-internal timers cover every decode window, including the
+        # one inside the first step() (which also prefills).
+        dec_s = max(st["decode_steps"], 1)
         row = {
             "prefill_s": round(t_prefill, 4),
-            "decode_steps": steps,
-            "decode_s": round(t_decode, 4),
-            "decode_tokens_per_s": round(decoded / max(t_decode, 1e-9), 1),
-            "decode_ms_per_step": round(t_decode / max(steps, 1) * 1e3, 3),
-            **eng.get_performance_stats(),
+            "decode_wall_s": round(t_decode, 4),
+            "decode_ms_per_step": round(
+                st["decode_tokens"]
+                / max(st["decode_tokens_per_s"], 1e-9)
+                / dec_s
+                * 1e3,
+                3,
+            ),
+            **st,
         }
         report["modes"][mode] = row
         print(

@@ -71,6 +71,43 @@ logger = get_logger("serving")
 _TRASH_PAGE = 0  # page 0 is never allocated; padded/inactive writes land here
 
 
+def _make_decode_window(decode_fn, cfg, page_size: int, quantized: bool):
+    """Build the device-resident multi-step decode: ``n_steps`` decode
+    iterations inside ONE compiled ``lax.scan``, greedy sampling on
+    device, KV page slots computed on device from the page tables.
+
+    The host round-trip (which through tunneled runtimes costs ~25-30 ms
+    — 30x the per-step device time for a small model) is paid once per
+    WINDOW instead of once per token. This is the piece the reference
+    could never have (its "distributed" loop is thread-simulated around
+    per-call tensors); on TPU it is the difference between
+    dispatch-bound and compute-bound decode.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(3,))
+    def window(params, ids, positions, pages_tree, lengths, page_tables, *, n_steps):
+        rows = jnp.arange(ids.shape[0])
+
+        def body(carry, _):
+            ids, pos, pages, lens = carry
+            # flat slot of the token being consumed (written at pos).
+            pids = page_tables[rows, pos // page_size]
+            flat = (pids * page_size + pos % page_size).astype(jnp.int32)
+            logits, pages = decode_fn(
+                params, cfg, ids, pos, pages, flat, lens, page_tables, quantized
+            )
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (nxt, pos + 1, pages, lens + 1), nxt
+
+        (_, _, pages_tree, _), toks = jax.lax.scan(
+            body, (ids, positions, pages_tree, lengths), None, length=n_steps
+        )
+        return toks, pages_tree
+
+    return window
+
+
 class _PyPageAllocator:
     """Pure-Python fallback with the native allocator's interface
     (core/native_alloc.py); page 0 reserved as trash."""
@@ -169,6 +206,11 @@ class ServingEngine:
         max_pages_per_seq: int = 64,
         kv_dtype=jnp.bfloat16,
         eos_token_id: Optional[int] = None,
+        # Device-resident decode window: up to this many decode steps run
+        # inside one compiled lax.scan between host syncs (power of two;
+        # each distinct effective window size compiles once). 1 restores
+        # strict per-token scheduling (lowest admission latency).
+        decode_window: int = 8,
     ) -> None:
         self.cfg = cfg
         self.params = params
@@ -180,6 +222,10 @@ class ServingEngine:
         self.eos_token_id = eos_token_id
 
         create_pages, self._prefill_step, self._decode_step = _model_adapter(cfg)
+        self.decode_window = max(1, decode_window)
+        self._window = _make_decode_window(
+            self._decode_step, cfg, page_size, self.quantized
+        )
         self.pages_tree = create_pages(num_pages, page_size, kv_dtype)
         # Page bookkeeping: native C++ allocator when available.
         self._alloc = _make_allocator(num_pages, page_size, max_pages_per_seq)
@@ -303,8 +349,25 @@ class ServingEngine:
 
     # -- decode ------------------------------------------------------------
 
+    def _window_steps(self, active: List[int]) -> int:
+        """Effective window: largest power of two <= every active
+        sequence's remaining budget, capped at ``decode_window``.
+
+        Capping at the min remaining budget guarantees no sequence writes
+        KV past its allocated pages mid-window; power-of-two bucketing
+        bounds compile count to log2(decode_window)+1 programs.
+        """
+        budget = min(
+            self._sequences[sid].max_new_tokens - self._sequences[sid].new_tokens
+            for sid in active
+        )
+        w = max(1, min(self.decode_window, budget))
+        return 1 << (w.bit_length() - 1)
+
     def step(self) -> int:
-        """One scheduler iteration: admit, then decode every active slot.
+        """One scheduler iteration: admit, then run one decode WINDOW
+        (up to ``decode_window`` device-resident steps) over every
+        active slot.
 
         Returns the number of active sequences decoded this step.
         """
@@ -314,15 +377,15 @@ class ServingEngine:
             return 0
 
         b = self.max_batch
+        n_steps = self._window_steps(active)
         ids = np.zeros((b,), np.int32)
         pos = np.zeros((b,), np.int32)
-        slots = np.full((b,), _TRASH_PAGE * self.page_size, np.int32)
         lengths = np.zeros((b,), np.int32)
         tables = np.zeros((b, self.max_pages_per_seq), np.int32)
         for slot in range(b):
             sid = self._slots[slot]
             if sid is None:
-                lengths[slot] = 0  # fully masked
+                lengths[slot] = 0  # fully masked; writes land in trash page
                 continue
             seq = self._sequences[sid]
             # The model consumes the LAST token (already appended) and
@@ -330,32 +393,33 @@ class ServingEngine:
             idx = seq.length - 1
             ids[slot] = seq.tokens[idx]
             pos[slot] = idx
-            slots[slot] = self._flat_slot(seq, idx)
             lengths[slot] = seq.length
             tables[slot, : len(seq.page_ids)] = seq.page_ids
 
         t0 = time.perf_counter()
-        logits, self.pages_tree = self._decode_step(
+        toks, self.pages_tree = self._window(
             self.params,
-            self.cfg,
             jnp.asarray(ids),
             jnp.asarray(pos),
             self.pages_tree,
-            jnp.asarray(slots),
             jnp.asarray(lengths),
             jnp.asarray(tables),
-            self.quantized,
+            n_steps=n_steps,
         )
-        next_tokens = np.asarray(jnp.argmax(logits, -1))
+        toks = np.asarray(toks)  # (n_steps, B)
         self._decode_time += time.perf_counter() - t0
-        self._decode_tokens += len(active)
-        self._steps += 1
+        self._steps += n_steps
 
-        for slot in list(range(b)):
-            sid = self._slots[slot]
-            if sid is None:
-                continue
-            self._append_token(self._sequences[sid], int(next_tokens[slot]))
+        for step_i in range(n_steps):
+            for slot in range(b):
+                sid = self._slots[slot]
+                if sid is None:
+                    continue
+                seq = self._sequences[sid]
+                if seq.done:
+                    continue  # EOS mid-window: discard trailing tokens
+                self._append_token(seq, int(toks[step_i, slot]))
+                self._decode_tokens += 1
         return len(active)
 
     # -- high level ---------------------------------------------------------

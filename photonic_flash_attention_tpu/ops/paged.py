@@ -224,15 +224,21 @@ def _paged_kernel(
         )
         s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[:, :1]
-        l_prev = l_scratch[:, :1]
+        # Lane-replicated running stats (one lane-broadcast per block —
+        # same rewrite as ops/flash.py).
+        m_prev = m_scratch[:]  # (G_pad, 128)
+        l_prev = l_scratch[:]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
+        if block_tokens <= 128:  # includes interpret-mode small pages
+            m_wide = m_next[:, :block_tokens]
+        else:
+            m_wide = jnp.tile(m_next, (1, block_tokens // 128))
+        p = jnp.exp(s - m_wide)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
+        m_scratch[:] = m_next
+        l_scratch[:] = l_next
 
         wait_dma(slot, 1)  # V ready
         v = v_buf[slot].astype(jnp.float32)  # (D, block_tokens)
@@ -244,13 +250,18 @@ def _paged_kernel(
         pv = jax.lax.dot_general(
             p, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (G_pad, D)
-        acc_scratch[:] = acc_scratch[:] * alpha + pv
+        alpha_d = alpha[:, :d] if d <= 128 else jnp.tile(alpha, (1, d // 128))
+        acc_scratch[:] = acc_scratch[:] * alpha_d + pv
 
     @pl.when(blk == num_blocks - 1)
     def _store():
-        l_fin = l_scratch[:, :1]
+        l_fin = l_scratch[:]
         l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        o_ref[0, 0] = (acc_scratch[:] * l_inv).astype(o_ref.dtype)
+        d_ = acc_scratch.shape[-1]
+        l_inv_d = l_inv[:, :d_] if d_ <= 128 else jnp.tile(
+            l_inv, (1, d_ // 128)
+        )
+        o_ref[0, 0] = (acc_scratch[:] * l_inv_d).astype(o_ref.dtype)
 
 
 def paged_attention(
@@ -319,10 +330,10 @@ def paged_attention(
             pl.BlockSpec(
                 (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k_pages
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v_pages
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k_scales
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v_scales
+            pl.BlockSpec(memory_space=pl.ANY),  # k_pages
+            pl.BlockSpec(memory_space=pl.ANY),  # v_pages
+            pl.BlockSpec(memory_space=pl.ANY),  # k_scales
+            pl.BlockSpec(memory_space=pl.ANY),  # v_scales
         ],
         out_specs=pl.BlockSpec(
             (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
