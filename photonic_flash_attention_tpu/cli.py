@@ -352,6 +352,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = parser.parse_args(argv)
     setup_logging(level=args.log_level)
+    # Persistent XLA compile cache: repeated CLI runs skip recompiles
+    # (remote compile through tunneled runtimes is 30-120 s per program).
+    try:
+        from .optimization.caching import CompileCacheManager
+
+        CompileCacheManager().enable()
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
     return args.fn(args)
 
 

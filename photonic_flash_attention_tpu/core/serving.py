@@ -85,7 +85,12 @@ def _make_decode_window(decode_fn, cfg, page_size: int, quantized: bool):
     """
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(3,))
+    # NO donate_argnums on the pages tree: donation of the KV pool through
+    # the remote (tunneled) TPU runtime measured 8x SLOWER per step
+    # (68 ms vs 8.4 ms) and intermittently fails with INVALID_ARGUMENT.
+    # Without donation XLA pays one pool copy per window (~1 ms for a
+    # 640 MB pool), amortized over the window's steps.
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
     def window(params, ids, positions, pages_tree, lengths, page_tables, *, n_steps):
         rows = jnp.arange(ids.shape[0])
 
