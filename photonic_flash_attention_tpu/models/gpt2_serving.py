@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
-from ..ops.paged import paged_attention_auto
+from ..ops.paged import paged_attention_auto, paged_token_write
 from ..ops.pallas_utils import resolve_interpret
 from .gpt2 import GPT2Config
 
@@ -211,7 +211,47 @@ def prefill_step(
     return logits.astype(jnp.float32), new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quantized"), donate_argnums=(4,))
+def _decode_write(pool, kh, vh, flat_slots, lyr, quantized):
+    """In-place token write into the full multi-layer pool.
+
+    A plain XLA scatter at ``[lyr, :, pids, :, offs]`` — updating the
+    pool as a whole-array scan CARRY lets XLA alias it in place (the
+    operand is dead after the write). The old structure (per-layer pool
+    slices threaded as scan xs/ys) forced a fresh pool-slice buffer per
+    layer and measured ~3.5 ms/step for GPT-2-small on v5e. A direct
+    Pallas DMA write (ops/paged.py::paged_token_write) is not lowerable
+    for this token-minor layout — single-token columns violate Mosaic's
+    128-aligned minor-dim DMA slice rule.
+    """
+    pool = dict(pool)
+    page = pool["k"].shape[-1]
+    pids = flat_slots // page
+    offs = flat_slots % page
+    if quantized:
+        k8, ks = _quant_tokens(kh)
+        v8, vs = _quant_tokens(vh)
+        # Value shape (B, Hkv, D): non-adjacent advanced indices move to
+        # the front (numpy rule).
+        pool["k"] = pool["k"].at[lyr, :, pids, :, offs].set(k8)
+        pool["v"] = pool["v"].at[lyr, :, pids, :, offs].set(v8)
+        # lyr is a TRACED scalar, i.e. an advanced index: combined with
+        # pids/offs it is non-adjacent (the Hkv slice sits between), so
+        # the broadcast (B,) batch moves to the FRONT -> value (B, Hkv).
+        # (Without lyr the old per-layer write had adjacent advanced
+        # indices staying in place -> (Hkv, B), hence its ks.T.)
+        pool["ks"] = pool["ks"].at[lyr, :, pids, offs].set(ks)
+        pool["vs"] = pool["vs"].at[lyr, :, pids, offs].set(vs)
+    else:
+        pool["k"] = pool["k"].at[lyr, :, pids, :, offs].set(
+            kh.astype(pool["k"].dtype)
+        )
+        pool["v"] = pool["v"].at[lyr, :, pids, :, offs].set(
+            vh.astype(pool["v"].dtype)
+        )
+    return pool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized"))
 def decode_step(
     params: Dict[str, Any],
     cfg: GPT2Config,
@@ -223,7 +263,14 @@ def decode_step(
     page_tables: jax.Array,  # (B, pages_per_seq)
     quantized: bool,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """One decode token per sequence. Returns (logits (B, V), new pages)."""
+    """One decode token per sequence. Returns (logits (B, V), new pages).
+
+    The full (L, ...) pool rides the layer scan as a CARRY (updated
+    in place by the Pallas token-write kernel + read by the
+    layer-indexed paged-attention kernel). Threading per-layer pool
+    slices as scan xs/ys instead measured ~3 ms/step of pure slice/stack
+    HBM traffic on v5e.
+    """
     b = input_ids.shape[0]
     h, d = cfg.n_head, cfg.n_embd // cfg.n_head
     eps = cfg.layer_norm_epsilon
@@ -234,24 +281,34 @@ def decode_step(
     blk = params["h"]["block"]
 
     def layer(carry, xs):
-        x = carry  # (B, E)
-        p_l, cache_l = xs
+        x, pool = carry  # (B, E), full-pool dict
+        p_l, lyr = xs
         h_in = _layer_norm(x, p_l["ln_1"]["scale"], p_l["ln_1"]["bias"], eps)
         q = _dense(h_in, p_l["attn"]["q_proj"]["kernel"], p_l["attn"]["q_proj"]["bias"])
         k = _dense(h_in, p_l["attn"]["k_proj"]["kernel"], p_l["attn"]["k_proj"]["bias"])
         v = _dense(h_in, p_l["attn"]["v_proj"]["kernel"], p_l["attn"]["v_proj"]["bias"])
         kh = k.reshape(b, h, d)
         vh = v.reshape(b, h, d)
-        cache_l = _write_tokens(cache_l, kh, vh, flat_slots, quantized)
-        attn = paged_attention_auto(
+        pool = _decode_write(pool, kh, vh, flat_slots, lyr, quantized)
+        # alias_pools: the kernel returns the pools as ALIASED outputs so
+        # the write->read chain stays in place across layers (without it
+        # XLA copies the whole pool at each boundary — measured ~1 ms per
+        # layer on v5e).
+        outs = paged_attention_auto(
             q.reshape(b, h, d).astype(jnp.float32),
-            cache_l["k"],
-            cache_l["v"],
+            pool["k"],
+            pool["v"],
             lengths,
             page_tables,
-            cache_l["ks"] if quantized else None,
-            cache_l["vs"] if quantized else None,
-        )  # (B, H, D)
+            pool["ks"] if quantized else None,
+            pool["vs"] if quantized else None,
+            layer=lyr,
+            alias_pools=True,
+        )  # (B, H, D) + pools
+        if quantized:
+            attn, pool["k"], pool["v"], pool["ks"], pool["vs"] = outs
+        else:
+            attn, pool["k"], pool["v"] = outs
         attn = attn.reshape(b, h * d).astype(x.dtype)
         attn = _dense(
             attn, p_l["attn"]["out_proj"]["kernel"], p_l["attn"]["out_proj"]["bias"]
@@ -261,9 +318,13 @@ def decode_step(
         m = _dense(h2, p_l["mlp"]["c_fc"]["kernel"], p_l["mlp"]["c_fc"]["bias"])
         m = jax.nn.gelu(m, approximate=True)
         m = _dense(m, p_l["mlp"]["c_proj"]["kernel"], p_l["mlp"]["c_proj"]["bias"])
-        return x + m, cache_l
+        return (x + m, pool), None
 
-    x, new_cache = jax.lax.scan(layer, x, (blk, pages_tree))
+    (x, new_cache), _ = jax.lax.scan(
+        layer,
+        (x, pages_tree),
+        (blk, jnp.arange(cfg.n_layer, dtype=jnp.int32)),
+    )
     x = _layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"], eps)
     logits = x @ params["wte"].astype(cfg.dtype).T
     return logits.astype(jnp.float32), new_cache

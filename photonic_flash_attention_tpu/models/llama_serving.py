@@ -121,7 +121,7 @@ def _lm_head(x, params, cfg: LlamaConfig):
     return x @ params["lm_head"].astype(cfg.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quantized"), donate_argnums=(4,))
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized"))
 def llama_decode_step(
     params: Dict[str, Any],
     cfg: LlamaConfig,
@@ -133,7 +133,13 @@ def llama_decode_step(
     page_tables: jax.Array,  # (B, pages_per_seq)
     quantized: bool,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """One decode token per sequence. Returns (logits (B, V), new pages)."""
+    """One decode token per sequence. Returns (logits (B, V), new pages).
+
+    Full-pool carry + Pallas token write + layer-indexed paged attention
+    — same structure and rationale as gpt2_serving.decode_step.
+    """
+    from .gpt2_serving import _decode_write
+
     b = input_ids.shape[0]
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
@@ -142,8 +148,8 @@ def llama_decode_step(
     blk = params["layers"]["layer"]
 
     def layer(carry, xs):
-        x = carry
-        p_l, cache_l = xs
+        x, pool = carry
+        p_l, lyr = xs
         h_in = _rms_norm(x, p_l["input_ln"]["scale"], eps)
         a = p_l["attn"]
         q = _dense(h_in, a["q_proj"]["kernel"]).reshape(b, 1, hq, d)
@@ -152,25 +158,35 @@ def llama_decode_step(
         q = apply_rope(q, cos, sin)[:, 0]  # (B, Hq, D)
         k = apply_rope(k, cos, sin)[:, 0]  # (B, Hkv, D)
         v = v[:, 0]
-        cache_l = _write_tokens(cache_l, k, v, flat_slots, quantized)
-        attn = paged_attention_auto(
+        pool = _decode_write(pool, k, v, flat_slots, lyr, quantized)
+        outs = paged_attention_auto(
             q.astype(jnp.float32),
-            cache_l["k"],
-            cache_l["v"],
+            pool["k"],
+            pool["v"],
             lengths,
             page_tables,
-            cache_l["ks"] if quantized else None,
-            cache_l["vs"] if quantized else None,
-        )  # (B, Hq, D)
+            pool["ks"] if quantized else None,
+            pool["vs"] if quantized else None,
+            layer=lyr,
+            alias_pools=True,  # keep write->read chain in place (see gpt2)
+        )  # (B, Hq, D) + pools
+        if quantized:
+            attn, pool["k"], pool["v"], pool["ks"], pool["vs"] = outs
+        else:
+            attn, pool["k"], pool["v"] = outs
         attn = _dense(attn.reshape(b, hq * d).astype(x.dtype), a["o_proj"]["kernel"])
         x = x + attn
         h2 = _rms_norm(x, p_l["post_attn_ln"]["scale"], eps)
         m = p_l["mlp"]
         gate = jax.nn.silu(_dense(h2, m["gate_proj"]["kernel"]))
         up = _dense(h2, m["up_proj"]["kernel"])
-        return x + _dense(gate * up, m["down_proj"]["kernel"]), cache_l
+        return (x + _dense(gate * up, m["down_proj"]["kernel"]), pool), None
 
-    x, new_cache = jax.lax.scan(layer, x, (blk, pages_tree))
+    (x, new_cache), _ = jax.lax.scan(
+        layer,
+        (x, pages_tree),
+        (blk, jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)),
+    )
     x = _rms_norm(x, params["norm"]["scale"], eps)
     logits = _lm_head(x, params, cfg)
     return logits.astype(jnp.float32), new_cache

@@ -100,13 +100,14 @@ def paged_attention_xla(
 
 def _paged_kernel(
     # scalar prefetch
+    layer_ref,  # (1,) SMEM layer index into the (L, ...) pool
     lengths_ref,  # (B,) SMEM
     page_indices_ref,  # (B * pages_per_seq,) SMEM (flattened)
     # inputs
     q_ref,  # (1, 1, G_pad, D) VMEM
-    k_pages_hbm,  # (Hkv, P, D, page) ANY/HBM
+    k_pages_hbm,  # (L, Hkv, P, D, page) ANY/HBM
     v_pages_hbm,
-    k_scales_hbm,  # (Hkv, P, 1, page) or dummy
+    k_scales_hbm,  # (L, Hkv, P, 1, page) or dummy
     v_scales_hbm,
     # output
     o_ref,  # (1, 1, G_pad, D) VMEM
@@ -130,6 +131,7 @@ def _paged_kernel(
     h = pl.program_id(1)
     blk = pl.program_id(2)
     num_blocks = pl.num_programs(2)
+    lyr = layer_ref[0]
     length = lengths_ref[b]
     block_tokens = pages_per_block * page_size
 
@@ -140,23 +142,23 @@ def _paged_kernel(
             page_id = page_indices_ref[flat]
             lanes = pl.ds(i * page_size, page_size)
             pltpu.make_async_copy(
-                k_pages_hbm.at[h, page_id],  # (D, page)
+                k_pages_hbm.at[lyr, h, page_id],  # (D, page)
                 k_buf.at[slot, :, lanes],
                 sems.at[slot, 0, 0],
             ).start()
             pltpu.make_async_copy(
-                v_pages_hbm.at[h, page_id],
+                v_pages_hbm.at[lyr, h, page_id],
                 v_buf.at[slot, :, lanes],
                 sems.at[slot, 1, 0],
             ).start()
             if quantized:
                 pltpu.make_async_copy(
-                    k_scales_hbm.at[h, page_id],  # (1, page)
+                    k_scales_hbm.at[lyr, h, page_id],  # (1, page)
                     ks_buf.at[slot, :, lanes],
                     sems.at[slot, 0, 1],
                 ).start()
                 pltpu.make_async_copy(
-                    v_scales_hbm.at[h, page_id],
+                    v_scales_hbm.at[lyr, h, page_id],
                     vs_buf.at[slot, :, lanes],
                     sems.at[slot, 1, 1],
                 ).start()
@@ -168,23 +170,23 @@ def _paged_kernel(
         for _ in range(pages_per_block):
             if which == 0:
                 pltpu.make_async_copy(
-                    k_pages_hbm.at[h, 0], k_buf.at[slot, :, lanes0], sems.at[slot, 0, 0]
+                    k_pages_hbm.at[0, h, 0], k_buf.at[slot, :, lanes0], sems.at[slot, 0, 0]
                 ).wait()
             else:
                 pltpu.make_async_copy(
-                    v_pages_hbm.at[h, 0], v_buf.at[slot, :, lanes0], sems.at[slot, 1, 0]
+                    v_pages_hbm.at[0, h, 0], v_buf.at[slot, :, lanes0], sems.at[slot, 1, 0]
                 ).wait()
         if quantized:
             for _ in range(pages_per_block):
                 if which == 0:
                     pltpu.make_async_copy(
-                        k_scales_hbm.at[h, 0],
+                        k_scales_hbm.at[0, h, 0],
                         ks_buf.at[slot, :, lanes0],
                         sems.at[slot, 0, 1],
                     ).wait()
                 else:
                     pltpu.make_async_copy(
-                        v_scales_hbm.at[h, 0],
+                        v_scales_hbm.at[0, h, 0],
                         vs_buf.at[slot, :, lanes0],
                         sems.at[slot, 1, 1],
                     ).wait()
@@ -276,14 +278,40 @@ def paged_attention(
     sm_scale: Optional[float] = None,
     pages_per_block: int = 4,
     interpret: Optional[bool] = None,
-) -> jax.Array:
+    layer: Optional[jax.Array] = None,
+    alias_pools: bool = False,
+):
     """Pallas paged-attention decode. Returns (B, Hq, D) in q.dtype.
 
     Hardware requires ``page_size % 128 == 0`` (token-minor pages put
     tokens on lanes); interpreter mode accepts any size.
+
+    Pools may be rank 4 ``(Hkv, P, D, page)`` or rank 5 with a leading
+    layer axis ``(L, Hkv, P, D, page)`` + a scalar ``layer`` index: the
+    full multi-layer pool stays in HBM and the kernel DMAs from layer
+    ``layer`` directly — no XLA-level slicing of pool-sized buffers.
+
+    ``alias_pools=True`` additionally returns the (unmodified) pools as
+    ALIASED outputs: ``(o, k_pages, v_pages)`` (+ ``k_scales, v_scales``
+    when quantized), shaped as passed in. Thread these through instead
+    of the originals when the pools live in a scan carry that is
+    updated in place between attention calls: without the alias, XLA
+    must copy the whole pool at every write->pallas-read boundary
+    (measured ~1 ms per layer for a 640 MB pool on v5e — 12 ms/step for
+    GPT-2-small); with it, the buffer chain stays in place.
     """
     b, hq, d = q.shape
-    hkv, num_pages, _, page_size = k_pages.shape
+    rank4_in = k_pages.ndim == 4
+    if rank4_in:
+        assert layer is None
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+        if k_scales is not None:
+            k_scales = k_scales[None]
+            v_scales = v_scales[None]
+        layer = jnp.zeros((1,), jnp.int32)
+    layer = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    L, hkv, num_pages, _, page_size = k_pages.shape
     group = hq // hkv
     pages_per_seq = page_indices.shape[1]
     interp = resolve_interpret(interpret)
@@ -317,14 +345,44 @@ def paged_attention(
 
     block_tokens = pages_per_block * page_size
     sdtype = jnp.float32
-    # Scales travel as (Hkv, P, 1, page) so each per-page DMA is a full
-    # (1, page) tile (see kernel comment).
+    # Scales travel as (L, Hkv, P, 1, page) so each per-page DMA is a
+    # full (1, page) tile (see kernel comment).
+    in_scale_shape = k_scales.shape if quantized else None
     if quantized:
-        k_scales = k_scales.reshape(hkv, num_pages, 1, page_size)
-        v_scales = v_scales.reshape(hkv, num_pages, 1, page_size)
-    dummy_scales = jnp.zeros((1, 1, 1, 128), sdtype)
+        k_scales = k_scales.reshape(L, hkv, num_pages, 1, page_size)
+        v_scales = v_scales.reshape(L, hkv, num_pages, 1, page_size)
+    dummy_scales = jnp.zeros((1, 1, 1, 1, 128), sdtype)
+    ks_in = k_scales if quantized else dummy_scales
+    vs_in = v_scales if quantized else dummy_scales
+
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
+        )
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype)]
+    io_aliases = {}
+    if alias_pools:
+        # Pools flow through as aliased outputs (never written by the
+        # kernel). Operand indices count the 3 scalar-prefetch args:
+        # (layer, lengths, page_indices, qg, k, v, ks, vs) -> k is 4.
+        for arr in (k_pages, v_pages, ks_in, vs_in):
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+        io_aliases = {4: 1, 5: 2, 6: 3, 7: 4}
+
+    n_extra = len(out_specs) - 1
+    if n_extra:
+        inner = kernel
+
+        def kernel(*refs, **kw):  # noqa: F811 - wrap to swallow alias refs
+            # refs: scalars(3) + inputs(5) + outputs(1 + n_extra) + scratch.
+            head = refs[: 8 + 1]  # up to and including o_ref
+            scratch = refs[8 + 1 + n_extra:]
+            return inner(*head, *scratch, **kw)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, hkv, num_blocks),
         in_specs=[
             pl.BlockSpec(
@@ -335,9 +393,7 @@ def paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),  # k_scales
             pl.BlockSpec(memory_space=pl.ANY),  # v_scales
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
-        ),
+        out_specs=out_specs[0] if not n_extra else tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((g_pad, 128), jnp.float32),
             pltpu.VMEM((g_pad, 128), jnp.float32),
@@ -350,24 +406,203 @@ def paged_attention(
         ],
     )
 
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
+        out_shape=out_shapes[0] if not n_extra else tuple(out_shapes),
+        input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interp,
     )(
+        layer,
         lengths,
         page_indices.reshape(-1),
         qg,
         k_pages,
         v_pages,
-        k_scales if quantized else dummy_scales,
-        v_scales if quantized else dummy_scales,
+        ks_in,
+        vs_in,
     )
-    return out[:, :, :group].reshape(b, hq, d)
+    if not n_extra:
+        o = outs
+        return o[:, :, :group].reshape(b, hq, d)
+    o, k_out, v_out, ks_out, vs_out = outs
+    o = o[:, :, :group].reshape(b, hq, d)
+    if rank4_in:  # restore the caller's rank
+        k_out, v_out = k_out[0], v_out[0]
+        if quantized:
+            in_scale_shape = in_scale_shape[1:]
+            ks_out, vs_out = ks_out[0], vs_out[0]
+    if quantized:
+        return (
+            o,
+            k_out,
+            v_out,
+            ks_out.reshape(in_scale_shape),
+            vs_out.reshape(in_scale_shape),
+        )
+    return o, k_out, v_out
+
+
+def _token_write_kernel(
+    # scalar prefetch
+    layer_ref,  # (1,) SMEM
+    slots_ref,  # (B,) SMEM flat slots (page_id * page_size + offset)
+    # inputs
+    k_new_ref,  # (B, Hkv, D, 1) VMEM
+    v_new_ref,
+    k_pool_in,  # (L, Hkv, P, D, page) ANY — aliased to outputs
+    v_pool_in,
+    ks_new_ref,  # (B, Hkv, 1) VMEM or dummy
+    vs_new_ref,
+    ks_pool_in,  # (L, Hkv, P, 1, page) ANY or dummy
+    vs_pool_in,
+    # outputs (aliased)
+    k_pool,
+    v_pool,
+    ks_pool,
+    vs_pool,
+    # scratch
+    sems,  # DMA sems (4,)
+    *,
+    page_size: int,
+    quantized: bool,
+):
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    flat = slots_ref[b]
+    pid = flat // page_size
+    off = flat % page_size
+    copies = [
+        pltpu.make_async_copy(
+            k_new_ref.at[b],  # (Hkv, D, 1)
+            k_pool.at[l, :, pid, :, pl.ds(off, 1)],
+            sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            v_new_ref.at[b],
+            v_pool.at[l, :, pid, :, pl.ds(off, 1)],
+            sems.at[1],
+        ),
+    ]
+    if quantized:
+        copies.append(
+            pltpu.make_async_copy(
+                ks_new_ref.at[b],  # (Hkv, 1)
+                ks_pool.at[l, :, pid, 0, pl.ds(off, 1)],
+                sems.at[2],
+            )
+        )
+        copies.append(
+            pltpu.make_async_copy(
+                vs_new_ref.at[b],
+                vs_pool.at[l, :, pid, 0, pl.ds(off, 1)],
+                sems.at[3],
+            )
+        )
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+
+def paged_token_write(
+    k_pool: jax.Array,  # (L, Hkv, P, D, page)
+    v_pool: jax.Array,
+    k_new: jax.Array,  # (B, Hkv, D)
+    v_new: jax.Array,
+    flat_slots: jax.Array,  # (B,) int32
+    layer: jax.Array,  # () or (1,) int32
+    ks_pool: Optional[jax.Array] = None,  # (L, Hkv, P, page) fp32
+    vs_pool: Optional[jax.Array] = None,
+    ks_new: Optional[jax.Array] = None,  # (B, Hkv) fp32
+    vs_new: Optional[jax.Array] = None,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, ...]:
+    """In-place decode-token write into the paged pool (Pallas DMA).
+
+    The XLA alternative — an advanced-indexing scatter per layer — costs
+    ~3.5 ms/step for GPT-2-small on v5e (measured; it rewrites pool-sized
+    buffers). This kernel DMAs exactly the B new token columns into HBM
+    and aliases the pool in place (``input_output_aliases``), so per-step
+    write traffic is B*Hkv*D elements instead of pool-sized.
+
+    Returns the updated (k_pool, v_pool) or
+    (k_pool, v_pool, ks_pool, vs_pool) when quantized.
+    """
+    b, hkv, d = k_new.shape
+    L = k_pool.shape[0]
+    page_size = k_pool.shape[-1]
+    interp = resolve_interpret(interpret)
+    quantized = ks_pool is not None
+    layer = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    k_new4 = k_new.astype(k_pool.dtype)[..., None]  # (B, Hkv, D, 1)
+    v_new4 = v_new.astype(v_pool.dtype)[..., None]
+    dummy_v = jnp.zeros((1, 1, 1), jnp.float32)
+    dummy_p = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+    if quantized:
+        ks_pool4 = ks_pool.reshape(L, hkv, -1, 1, page_size)
+        vs_pool4 = vs_pool.reshape(L, hkv, -1, 1, page_size)
+        ks_new3 = ks_new.astype(jnp.float32)[..., None]  # (B, Hkv, 1)
+        vs_new3 = vs_new.astype(jnp.float32)[..., None]
+    else:
+        ks_pool4 = vs_pool4 = dummy_p
+        ks_new3 = vs_new3 = dummy_v
+
+    kernel = functools.partial(
+        _token_write_kernel, page_size=page_size, quantized=quantized
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
+            pl.BlockSpec(memory_space=pl.ANY),  # k_pool (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # v_pool (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ks_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # vs_new
+            pl.BlockSpec(memory_space=pl.ANY),  # ks_pool (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # vs_pool (aliased)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(ks_pool4.shape, ks_pool4.dtype),
+            jax.ShapeDtypeStruct(vs_pool4.shape, vs_pool4.dtype),
+        ),
+        # Alias indices count ALL operands including the two
+        # scalar-prefetch args (cf. jax megablox gmm: {6: 0} with
+        # num_scalar_prefetch=2 and existing_out as 5th tensor operand).
+        input_output_aliases={4: 0, 5: 1, 8: 2, 9: 3},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interp,
+    )(layer, flat_slots.astype(jnp.int32), k_new4, v_new4, k_pool, v_pool,
+      ks_new3, vs_new3, ks_pool4, vs_pool4)
+    k_out, v_out, ks_out, vs_out = outs
+    if quantized:
+        return (
+            k_out,
+            v_out,
+            ks_out.reshape(ks_pool.shape),
+            vs_out.reshape(vs_pool.shape),
+        )
+    return k_out, v_out
 
 
 def paged_attention_auto(
@@ -381,22 +616,43 @@ def paged_attention_auto(
     *,
     sm_scale: Optional[float] = None,
     pages_per_block: int = 4,
-) -> jax.Array:
+    layer: Optional[jax.Array] = None,
+    alias_pools: bool = False,
+):
     """Backend-aware dispatch: the Pallas DMA kernel on TPU when the page
     layout allows it (page_size % 128 == 0), the XLA gather otherwise.
 
     The choice happens at trace time (shapes/backend are static under
     jit), mirroring the engine's kernel registry dispatch
-    (core/engine.py) for the decode path.
+    (core/engine.py) for the decode path. Pools may carry a leading
+    layer axis (rank 5) with a scalar ``layer`` index, and
+    ``alias_pools=True`` flows them through as aliased outputs — see
+    :func:`paged_attention`.
     """
     page_size = k_pages.shape[-1]
+    quantized = k_scales is not None
     if jax.default_backend() == "tpu" and page_size % 128 == 0:
         return paged_attention(
             q, k_pages, v_pages, lengths, page_indices, k_scales, v_scales,
             sm_scale=sm_scale, pages_per_block=pages_per_block,
-            interpret=False,
+            interpret=False, layer=layer, alias_pools=alias_pools,
         )
-    return paged_attention_xla(
+    k_full, v_full, ks_full, vs_full = k_pages, v_pages, k_scales, v_scales
+    if k_pages.ndim == 5:
+        # XLA fallback works on one layer's slice (CPU/tests only — the
+        # dynamic slice materializes a layer-sized copy).
+        lyr = jnp.reshape(layer, ())
+        k_pages = jax.lax.dynamic_index_in_dim(k_pages, lyr, 0, keepdims=False)
+        v_pages = jax.lax.dynamic_index_in_dim(v_pages, lyr, 0, keepdims=False)
+        if quantized:
+            k_scales = jax.lax.dynamic_index_in_dim(k_scales, lyr, 0, keepdims=False)
+            v_scales = jax.lax.dynamic_index_in_dim(v_scales, lyr, 0, keepdims=False)
+    o = paged_attention_xla(
         q, k_pages, v_pages, lengths, page_indices, k_scales, v_scales,
         sm_scale=sm_scale,
     )
+    if not alias_pools:
+        return o
+    if quantized:
+        return o, k_full, v_full, ks_full, vs_full
+    return o, k_full, v_full

@@ -86,3 +86,47 @@ class TestPagedPallas:
             cache.k_scales, cache.v_scales, pages_per_block=2,
         )
         assert rel_err_norm(out, ref) < 2e-2
+
+
+class TestLayerIndexedPools:
+    """Rank-5 (L, ...) pools with a scalar layer index + aliased flow-through."""
+
+    def test_layer_indexed_matches_rank4(self, rng, dtype):
+        cache, q, lengths, tables, ref = build_cache_and_oracle(
+            rng, [40, 17, 128], dtype=dtype
+        )
+        L = 3
+        lyr = 1
+        # Stack the same pool at every layer; index the middle one.
+        k5 = jnp.stack([cache.k_pages] * L)
+        v5 = jnp.stack([cache.v_pages] * L)
+        ks5 = jnp.stack([cache.k_scales] * L) if cache.k_scales is not None else None
+        vs5 = jnp.stack([cache.v_scales] * L) if cache.v_scales is not None else None
+        out = paged_attention(
+            q, k5, v5, lengths, tables, ks5, vs5,
+            pages_per_block=2, layer=jnp.int32(lyr),
+        )
+        assert rel_err_norm(out, ref) < 2e-2
+
+    def test_alias_pools_flow_through(self, rng, dtype):
+        cache, q, lengths, tables, ref = build_cache_and_oracle(
+            rng, [40, 17], dtype=dtype
+        )
+        quant = cache.k_scales is not None
+        outs = paged_attention(
+            q, cache.k_pages, cache.v_pages, lengths, tables,
+            cache.k_scales, cache.v_scales, pages_per_block=2,
+            alias_pools=True,
+        )
+        if quant:
+            out, k_out, v_out, ks_out, vs_out = outs
+            assert ks_out.shape == cache.k_scales.shape
+            np.testing.assert_array_equal(np.asarray(ks_out), np.asarray(cache.k_scales))
+        else:
+            out, k_out, v_out = outs
+        assert k_out.shape == cache.k_pages.shape
+        np.testing.assert_array_equal(
+            np.asarray(k_out).astype(np.float32),
+            np.asarray(cache.k_pages).astype(np.float32),
+        )
+        assert rel_err_norm(out, ref) < 2e-2
