@@ -191,3 +191,35 @@ class TestServingCheckpoint:
         assert eng.cancel(s2)
         assert not eng.cancel(s1)  # already admitted
         assert eng.status()["queue"]["cancelled"] == 1
+
+
+class TestDecodeWindowSemantics:
+    """Device-resident decode windows must preserve per-token semantics."""
+
+    def test_eos_mid_window_truncates(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=64, page_size=16,
+            max_batch=2, decode_window=8,
+        )
+        prompt = [int(t) for t in rng.integers(1, cfg.vocab_size, 12)]
+        ref = dense_greedy(model, variables, prompt, 16)
+        # Pick the 3rd greedy token as the EOS: generation must stop there
+        # even though the window keeps decoding past it on device.
+        eos = ref[2]
+        eng.eos_token_id = eos
+        out = eng.generate([prompt], max_new_tokens=16)[0]
+        assert out == ref[: ref.index(eos) + 1]
+
+    def test_window_matches_per_token_stepping(self, tiny_model, rng):
+        cfg, model, variables = tiny_model
+        prompt = [int(t) for t in rng.integers(1, cfg.vocab_size, 9)]
+        outs = {}
+        for window in (1, 8):
+            eng = ServingEngine(
+                cfg, variables["params"], num_pages=64, page_size=16,
+                max_batch=2, decode_window=window,
+            )
+            outs[window] = eng.generate([prompt], max_new_tokens=11)[0]
+        assert outs[1] == outs[8]
+        assert outs[1] == dense_greedy(model, variables, prompt, 11)
