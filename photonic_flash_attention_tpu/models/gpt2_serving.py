@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
-from ..ops.paged import paged_attention_auto, paged_token_write
+from ..ops.paged import paged_attention_auto
 from ..ops.pallas_utils import resolve_interpret
 from .gpt2 import GPT2Config
 
@@ -98,34 +98,6 @@ def _quant_tokens(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return payload, scale
 
 
-def _write_tokens(layer_sel, k_new, v_new, flat_slots, quantized):
-    """Scatter new tokens into their (page, offset) slots.
-
-    layer_sel: dict of this layer's page arrays (Hkv, P, D, page) as
-    carried through the layer scan. k_new/v_new: (N, Hkv, D);
-    flat_slots: (N,) int32 page_id*page_size + offset.
-
-    Token-minor layout: a token is the column ``[:, pid, :, off]``.
-    Non-adjacent advanced indices move to the front (numpy rule), so the
-    scatter value shape is (N, Hkv, D) — ``k_new`` as-is.
-    """
-    hkv, p, d, page = layer_sel["k"].shape
-    pids = flat_slots // page
-    offs = flat_slots % page
-    if quantized:
-        k8, ks = _quant_tokens(k_new)
-        v8, vs = _quant_tokens(v_new)
-        kf = layer_sel["k"].at[:, pids, :, offs].set(k8)
-        vf = layer_sel["v"].at[:, pids, :, offs].set(v8)
-        # Adjacent advanced indices stay in place: value shape (Hkv, N).
-        ksf = layer_sel["ks"].at[:, pids, offs].set(ks.T)
-        vsf = layer_sel["vs"].at[:, pids, offs].set(vs.T)
-        return {"k": kf, "v": vf, "ks": ksf, "vs": vsf}
-    kf = layer_sel["k"].at[:, pids, :, offs].set(k_new.astype(layer_sel["k"].dtype))
-    vf = layer_sel["v"].at[:, pids, :, offs].set(v_new.astype(layer_sel["v"].dtype))
-    return {"k": kf, "v": vf, "ks": layer_sel["ks"], "vs": layer_sel["vs"]}
-
-
 def _pages_to_scan_tree(pages: KVPages) -> Dict[str, jax.Array]:
     dummy = jnp.zeros((pages.k.shape[0], 1, 1, 1), jnp.float32)
     return {
@@ -173,8 +145,11 @@ def prefill_step(
     blk = params["h"]["block"]
 
     def layer(carry, xs):
-        x = carry
-        p_l, cache_l = xs
+        # Full pool as CARRY + whole-pool scatter at [lyr, ...]: same
+        # structure as decode_step (per-layer xs/ys slices of the pool
+        # force pool-sized buffer churn; see _decode_write).
+        x, pool = carry
+        p_l, lyr = xs
         h_in = _layer_norm(x, p_l["ln_1"]["scale"], p_l["ln_1"]["bias"], eps)
         q = _dense(h_in, p_l["attn"]["q_proj"]["kernel"], p_l["attn"]["q_proj"]["bias"])
         k = _dense(h_in, p_l["attn"]["k_proj"]["kernel"], p_l["attn"]["k_proj"]["bias"])
@@ -182,11 +157,12 @@ def prefill_step(
         qh = q.reshape(b, s, h, d)
         kh = k.reshape(b, s, h, d)
         vh = v.reshape(b, s, h, d)
-        cache_l = _write_tokens(
-            cache_l,
+        pool = _decode_write(
+            pool,
             kh.reshape(b * s, h, d),
             vh.reshape(b * s, h, d),
             flat_slots.reshape(b * s),
+            lyr,
             quantized,
         )
         attn = flash_attention(qh, kh, vh, causal=True)
@@ -199,10 +175,13 @@ def prefill_step(
         m = _dense(h2, p_l["mlp"]["c_fc"]["kernel"], p_l["mlp"]["c_fc"]["bias"])
         m = jax.nn.gelu(m, approximate=True)
         m = _dense(m, p_l["mlp"]["c_proj"]["kernel"], p_l["mlp"]["c_proj"]["bias"])
-        return x + m, cache_l
+        return (x + m, pool), None
 
-    pages_scan = pages_tree
-    x, new_cache = jax.lax.scan(layer, x, (blk, pages_scan))
+    (x, new_cache), _ = jax.lax.scan(
+        layer,
+        (x, pages_tree),
+        (blk, jnp.arange(cfg.n_layer, dtype=jnp.int32)),
+    )
     x = _layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"], eps)
     # Last *real* token's logits per row.
     idx = jnp.clip(prompt_lengths - 1, 0, s - 1)

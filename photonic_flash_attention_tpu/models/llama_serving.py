@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
 from ..ops.paged import paged_attention_auto
-from .gpt2_serving import _write_tokens
+from .gpt2_serving import _decode_write
 from .llama import LlamaConfig, apply_rope, rope_cos_sin
 
 
@@ -82,8 +82,9 @@ def llama_prefill_step(
     blk = params["layers"]["layer"]
 
     def layer(carry, xs):
-        x = carry
-        p_l, cache_l = xs
+        # Full pool as CARRY (see gpt2_serving.prefill_step rationale).
+        x, pool = carry
+        p_l, lyr = xs
         h_in = _rms_norm(x, p_l["input_ln"]["scale"], eps)
         a = p_l["attn"]
         q = _dense(h_in, a["q_proj"]["kernel"]).reshape(b, s, hq, d)
@@ -91,11 +92,12 @@ def llama_prefill_step(
         v = _dense(h_in, a["v_proj"]["kernel"]).reshape(b, s, hkv, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        cache_l = _write_tokens(
-            cache_l,
+        pool = _decode_write(
+            pool,
             k.reshape(b * s, hkv, d),
             v.reshape(b * s, hkv, d),
             flat_slots.reshape(b * s),
+            lyr,
             quantized,
         )
         attn = flash_attention(q, k, v, causal=True)  # native GQA
@@ -105,9 +107,13 @@ def llama_prefill_step(
         m = p_l["mlp"]
         gate = jax.nn.silu(_dense(h2, m["gate_proj"]["kernel"]))
         up = _dense(h2, m["up_proj"]["kernel"])
-        return x + _dense(gate * up, m["down_proj"]["kernel"]), cache_l
+        return (x + _dense(gate * up, m["down_proj"]["kernel"]), pool), None
 
-    x, new_cache = jax.lax.scan(layer, x, (blk, pages_tree))
+    (x, new_cache), _ = jax.lax.scan(
+        layer,
+        (x, pages_tree),
+        (blk, jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)),
+    )
     x = _rms_norm(x, params["norm"]["scale"], eps)
     idx = jnp.clip(prompt_lengths - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
@@ -138,8 +144,6 @@ def llama_decode_step(
     Full-pool carry + Pallas token write + layer-indexed paged attention
     — same structure and rationale as gpt2_serving.decode_step.
     """
-    from .gpt2_serving import _decode_write
-
     b = input_ids.shape[0]
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps

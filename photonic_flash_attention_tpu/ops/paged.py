@@ -446,165 +446,6 @@ def paged_attention(
     return o, k_out, v_out
 
 
-def _token_write_kernel(
-    # scalar prefetch
-    layer_ref,  # (1,) SMEM
-    slots_ref,  # (B,) SMEM flat slots (page_id * page_size + offset)
-    # inputs
-    k_new_ref,  # (B, Hkv, D, 1) VMEM
-    v_new_ref,
-    k_pool_in,  # (L, Hkv, P, D, page) ANY — aliased to outputs
-    v_pool_in,
-    ks_new_ref,  # (B, Hkv, 1) VMEM or dummy
-    vs_new_ref,
-    ks_pool_in,  # (L, Hkv, P, 1, page) ANY or dummy
-    vs_pool_in,
-    # outputs (aliased)
-    k_pool,
-    v_pool,
-    ks_pool,
-    vs_pool,
-    # scratch
-    sems,  # DMA sems (4,)
-    *,
-    page_size: int,
-    quantized: bool,
-):
-    b = pl.program_id(0)
-    l = layer_ref[0]
-    flat = slots_ref[b]
-    pid = flat // page_size
-    off = flat % page_size
-    copies = [
-        pltpu.make_async_copy(
-            k_new_ref.at[b],  # (Hkv, D, 1)
-            k_pool.at[l, :, pid, :, pl.ds(off, 1)],
-            sems.at[0],
-        ),
-        pltpu.make_async_copy(
-            v_new_ref.at[b],
-            v_pool.at[l, :, pid, :, pl.ds(off, 1)],
-            sems.at[1],
-        ),
-    ]
-    if quantized:
-        copies.append(
-            pltpu.make_async_copy(
-                ks_new_ref.at[b],  # (Hkv, 1)
-                ks_pool.at[l, :, pid, 0, pl.ds(off, 1)],
-                sems.at[2],
-            )
-        )
-        copies.append(
-            pltpu.make_async_copy(
-                vs_new_ref.at[b],
-                vs_pool.at[l, :, pid, 0, pl.ds(off, 1)],
-                sems.at[3],
-            )
-        )
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
-
-
-def paged_token_write(
-    k_pool: jax.Array,  # (L, Hkv, P, D, page)
-    v_pool: jax.Array,
-    k_new: jax.Array,  # (B, Hkv, D)
-    v_new: jax.Array,
-    flat_slots: jax.Array,  # (B,) int32
-    layer: jax.Array,  # () or (1,) int32
-    ks_pool: Optional[jax.Array] = None,  # (L, Hkv, P, page) fp32
-    vs_pool: Optional[jax.Array] = None,
-    ks_new: Optional[jax.Array] = None,  # (B, Hkv) fp32
-    vs_new: Optional[jax.Array] = None,
-    *,
-    interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, ...]:
-    """In-place decode-token write into the paged pool (Pallas DMA).
-
-    The XLA alternative — an advanced-indexing scatter per layer — costs
-    ~3.5 ms/step for GPT-2-small on v5e (measured; it rewrites pool-sized
-    buffers). This kernel DMAs exactly the B new token columns into HBM
-    and aliases the pool in place (``input_output_aliases``), so per-step
-    write traffic is B*Hkv*D elements instead of pool-sized.
-
-    Returns the updated (k_pool, v_pool) or
-    (k_pool, v_pool, ks_pool, vs_pool) when quantized.
-    """
-    b, hkv, d = k_new.shape
-    L = k_pool.shape[0]
-    page_size = k_pool.shape[-1]
-    interp = resolve_interpret(interpret)
-    quantized = ks_pool is not None
-    layer = jnp.reshape(layer, (1,)).astype(jnp.int32)
-
-    k_new4 = k_new.astype(k_pool.dtype)[..., None]  # (B, Hkv, D, 1)
-    v_new4 = v_new.astype(v_pool.dtype)[..., None]
-    dummy_v = jnp.zeros((1, 1, 1), jnp.float32)
-    dummy_p = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
-    if quantized:
-        ks_pool4 = ks_pool.reshape(L, hkv, -1, 1, page_size)
-        vs_pool4 = vs_pool.reshape(L, hkv, -1, 1, page_size)
-        ks_new3 = ks_new.astype(jnp.float32)[..., None]  # (B, Hkv, 1)
-        vs_new3 = vs_new.astype(jnp.float32)[..., None]
-    else:
-        ks_pool4 = vs_pool4 = dummy_p
-        ks_new3 = vs_new3 = dummy_v
-
-    kernel = functools.partial(
-        _token_write_kernel, page_size=page_size, quantized=quantized
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
-            pl.BlockSpec(memory_space=pl.ANY),  # k_pool (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),  # v_pool (aliased)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ks_new
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # vs_new
-            pl.BlockSpec(memory_space=pl.ANY),  # ks_pool (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),  # vs_pool (aliased)
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
-            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
-            jax.ShapeDtypeStruct(ks_pool4.shape, ks_pool4.dtype),
-            jax.ShapeDtypeStruct(vs_pool4.shape, vs_pool4.dtype),
-        ),
-        # Alias indices count ALL operands including the two
-        # scalar-prefetch args (cf. jax megablox gmm: {6: 0} with
-        # num_scalar_prefetch=2 and existing_out as 5th tensor operand).
-        input_output_aliases={4: 0, 5: 1, 8: 2, 9: 3},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interp,
-    )(layer, flat_slots.astype(jnp.int32), k_new4, v_new4, k_pool, v_pool,
-      ks_new3, vs_new3, ks_pool4, vs_pool4)
-    k_out, v_out, ks_out, vs_out = outs
-    if quantized:
-        return (
-            k_out,
-            v_out,
-            ks_out.reshape(ks_pool.shape),
-            vs_out.reshape(vs_pool.shape),
-        )
-    return k_out, v_out
-
-
 def paged_attention_auto(
     q: jax.Array,
     k_pages: jax.Array,
