@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
-from ..ops.paged import paged_attention_auto
+from ..ops.paged import paged_attention_auto, paged_decode_attention
 from ..ops.pallas_utils import resolve_interpret
 from .gpt2 import GPT2Config
 
@@ -268,21 +268,25 @@ def decode_step(
         v = _dense(h_in, p_l["attn"]["v_proj"]["kernel"], p_l["attn"]["v_proj"]["bias"])
         kh = k.reshape(b, h, d)
         vh = v.reshape(b, h, d)
-        pool = _decode_write(pool, kh, vh, flat_slots, lyr, quantized)
-        # alias_pools: the kernel returns the pools as ALIASED outputs so
-        # the write->read chain stays in place across layers (without it
-        # XLA copies the whole pool at each boundary — measured ~1 ms per
-        # layer on v5e).
-        outs = paged_attention_auto(
+        # Fused write+attend: ONE pallas call writes the token's K/V
+        # column into its page (pools genuinely aliased in/out) and
+        # attends over the pool. A separate scatter would give the
+        # written pool two consumers (attention + next-layer carry) and
+        # force XLA to copy the whole pool every layer (~1 ms/layer for
+        # a 640 MB pool on v5e, measured).
+        pool = dict(pool)
+        outs = paged_decode_attention(
             q.reshape(b, h, d).astype(jnp.float32),
+            kh,
+            vh,
             pool["k"],
             pool["v"],
             lengths,
             page_tables,
+            flat_slots,
+            lyr,
             pool["ks"] if quantized else None,
             pool["vs"] if quantized else None,
-            layer=lyr,
-            alias_pools=True,
         )  # (B, H, D) + pools
         if quantized:
             attn, pool["k"], pool["v"], pool["ks"], pool["vs"] = outs

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
-from ..ops.paged import paged_attention_auto
+from ..ops.paged import paged_decode_attention
 from .gpt2_serving import _decode_write
 from .llama import LlamaConfig, apply_rope, rope_cos_sin
 
@@ -162,17 +162,20 @@ def llama_decode_step(
         q = apply_rope(q, cos, sin)[:, 0]  # (B, Hq, D)
         k = apply_rope(k, cos, sin)[:, 0]  # (B, Hkv, D)
         v = v[:, 0]
-        pool = _decode_write(pool, k, v, flat_slots, lyr, quantized)
-        outs = paged_attention_auto(
+        # Fused write+attend (see gpt2_serving.decode_step rationale).
+        pool = dict(pool)
+        outs = paged_decode_attention(
             q.astype(jnp.float32),
+            k,
+            v,
             pool["k"],
             pool["v"],
             lengths,
             page_tables,
+            flat_slots,
+            lyr,
             pool["ks"] if quantized else None,
             pool["vs"] if quantized else None,
-            layer=lyr,
-            alias_pools=True,  # keep write->read chain in place (see gpt2)
         )  # (B, Hq, D) + pools
         if quantized:
             attn, pool["k"], pool["v"], pool["ks"], pool["vs"] = outs

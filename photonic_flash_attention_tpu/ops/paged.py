@@ -279,8 +279,7 @@ def paged_attention(
     pages_per_block: int = 4,
     interpret: Optional[bool] = None,
     layer: Optional[jax.Array] = None,
-    alias_pools: bool = False,
-):
+) -> jax.Array:
     """Pallas paged-attention decode. Returns (B, Hq, D) in q.dtype.
 
     Hardware requires ``page_size % 128 == 0`` (token-minor pages put
@@ -291,14 +290,9 @@ def paged_attention(
     full multi-layer pool stays in HBM and the kernel DMAs from layer
     ``layer`` directly — no XLA-level slicing of pool-sized buffers.
 
-    ``alias_pools=True`` additionally returns the (unmodified) pools as
-    ALIASED outputs: ``(o, k_pages, v_pages)`` (+ ``k_scales, v_scales``
-    when quantized), shaped as passed in. Thread these through instead
-    of the originals when the pools live in a scan carry that is
-    updated in place between attention calls: without the alias, XLA
-    must copy the whole pool at every write->pallas-read boundary
-    (measured ~1 ms per layer for a 640 MB pool on v5e — 12 ms/step for
-    GPT-2-small); with it, the buffer chain stays in place.
+    For the serving decode path use :func:`paged_decode_attention`,
+    which fuses the current token's pool write into the same call (the
+    write->read buffer economics demand it — see its docstring).
     """
     b, hq, d = q.shape
     rank4_in = k_pages.ndim == 4
@@ -355,32 +349,6 @@ def paged_attention(
     ks_in = k_scales if quantized else dummy_scales
     vs_in = v_scales if quantized else dummy_scales
 
-    out_specs = [
-        pl.BlockSpec(
-            (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
-        )
-    ]
-    out_shapes = [jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype)]
-    io_aliases = {}
-    if alias_pools:
-        # Pools flow through as aliased outputs (never written by the
-        # kernel). Operand indices count the 3 scalar-prefetch args:
-        # (layer, lengths, page_indices, qg, k, v, ks, vs) -> k is 4.
-        for arr in (k_pages, v_pages, ks_in, vs_in):
-            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
-        io_aliases = {4: 1, 5: 2, 6: 3, 7: 4}
-
-    n_extra = len(out_specs) - 1
-    if n_extra:
-        inner = kernel
-
-        def kernel(*refs, **kw):  # noqa: F811 - wrap to swallow alias refs
-            # refs: scalars(3) + inputs(5) + outputs(1 + n_extra) + scratch.
-            head = refs[: 8 + 1]  # up to and including o_ref
-            scratch = refs[8 + 1 + n_extra:]
-            return inner(*head, *scratch, **kw)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, hkv, num_blocks),
@@ -393,7 +361,9 @@ def paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),  # k_scales
             pl.BlockSpec(memory_space=pl.ANY),  # v_scales
         ],
-        out_specs=out_specs[0] if not n_extra else tuple(out_specs),
+        out_specs=pl.BlockSpec(
+            (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((g_pad, 128), jnp.float32),
             pltpu.VMEM((g_pad, 128), jnp.float32),
@@ -406,11 +376,10 @@ def paged_attention(
         ],
     )
 
-    outs = pl.pallas_call(
+    o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shapes[0] if not n_extra else tuple(out_shapes),
-        input_output_aliases=io_aliases,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -425,16 +394,413 @@ def paged_attention(
         ks_in,
         vs_in,
     )
-    if not n_extra:
-        o = outs
-        return o[:, :, :group].reshape(b, hq, d)
+    return o[:, :, :group].reshape(b, hq, d)
+
+
+def _fused_decode_kernel(
+    # scalar prefetch
+    layer_ref,  # (1,) SMEM
+    lengths_ref,  # (B,) SMEM — length INCLUDING the current token
+    page_indices_ref,  # (B * pages_per_seq,) SMEM
+    slots_ref,  # (B,) SMEM flat slot (page*page_size + off) of current token
+    # inputs
+    q_ref,  # (1, 1, G_pad, D) VMEM
+    k_ins_ref,  # (1, 1, D, 128) VMEM — new K column lane-replicated
+    v_ins_ref,
+    ks_ins_ref,  # (1, 1, 1, 128) VMEM — new scale lane-replicated (or dummy)
+    vs_ins_ref,
+    k_pages_hbm,  # (L, Hkv, P, D, page) ANY — aliased to k_out
+    v_pages_hbm,
+    k_scales_hbm,  # (L, Hkv, P, 1, page) ANY or dummy
+    v_scales_hbm,
+    # outputs
+    o_ref,  # (1, 1, G_pad, D) VMEM
+    k_out,  # aliased pools
+    v_out,
+    ks_out,
+    vs_out,
+    # scratch
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    k_buf,
+    v_buf,
+    ks_buf,
+    vs_buf,
+    sems,  # (2, 2, 2) DMA sems for block reads
+    page_k,  # (D, page) VMEM — RMW staging
+    page_v,
+    page_ks,  # (1, page)
+    page_vs,
+    wsems,  # (4,) DMA sems for the RMW
+    *,
+    sm_scale: float,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    quantized: bool,
+):
+    """Fused decode: write the current token's K/V column into its page
+    (read page -> insert column -> write back), THEN run paged attention
+    over the pool — which now already contains the token, so the read
+    path is identical to :func:`_paged_kernel`.
+
+    The fusion exists for buffer economics, not arithmetic: with a
+    separate XLA scatter, the scattered pool has TWO consumers (the
+    attention kernel and the next layer's carry), so XLA must copy the
+    whole pool every layer (~1 ms for a 640 MB pool on v5e, measured).
+    Here the pool is genuinely aliased in/out of ONE pallas call and
+    never copied. Pass-through aliasing without the in-kernel write was
+    measured to make things WORSE (the runtime copies input->output).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    blk = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+    lyr = layer_ref[0]
+    length = lengths_ref[b]
+    block_tokens = pages_per_block * page_size
+
+    # All pool READS go through the aliased OUTPUT refs: in compiled
+    # mode input and output are the same buffer, and in interpreter mode
+    # only the output ref is guaranteed to observe the RMW token write
+    # below (the interpreter may keep logically-aliased buffers apart).
+    def start_dma(block_idx, slot):
+        for i in range(pages_per_block):
+            flat = b * pages_per_seq + block_idx * pages_per_block + i
+            page_id = page_indices_ref[flat]
+            lanes = pl.ds(i * page_size, page_size)
+            pltpu.make_async_copy(
+                k_out.at[lyr, h, page_id],
+                k_buf.at[slot, :, lanes],
+                sems.at[slot, 0, 0],
+            ).start()
+            pltpu.make_async_copy(
+                v_out.at[lyr, h, page_id],
+                v_buf.at[slot, :, lanes],
+                sems.at[slot, 1, 0],
+            ).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_out.at[lyr, h, page_id],
+                    ks_buf.at[slot, :, lanes],
+                    sems.at[slot, 0, 1],
+                ).start()
+                pltpu.make_async_copy(
+                    vs_out.at[lyr, h, page_id],
+                    vs_buf.at[slot, :, lanes],
+                    sems.at[slot, 1, 1],
+                ).start()
+
+    def wait_dma(slot, which):
+        lanes0 = pl.ds(0, page_size)
+        for _ in range(pages_per_block):
+            if which == 0:
+                pltpu.make_async_copy(
+                    k_out.at[0, h, 0], k_buf.at[slot, :, lanes0], sems.at[slot, 0, 0]
+                ).wait()
+            else:
+                pltpu.make_async_copy(
+                    v_out.at[0, h, 0], v_buf.at[slot, :, lanes0], sems.at[slot, 1, 0]
+                ).wait()
+        if quantized:
+            for _ in range(pages_per_block):
+                if which == 0:
+                    pltpu.make_async_copy(
+                        ks_out.at[0, h, 0],
+                        ks_buf.at[slot, :, lanes0],
+                        sems.at[slot, 0, 1],
+                    ).wait()
+                else:
+                    pltpu.make_async_copy(
+                        vs_out.at[0, h, 0],
+                        vs_buf.at[slot, :, lanes0],
+                        sems.at[slot, 1, 1],
+                    ).wait()
+
+    slot = jax.lax.rem(blk, 2)
+    next_slot = jax.lax.rem(blk + 1, 2)
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+        # --- RMW token write, BEFORE any read DMA ------------------------
+        flat = slots_ref[b]
+        pid = flat // page_size
+        off = flat % page_size
+        pairs = [
+            (k_pages_hbm, k_out, page_k, k_ins_ref, 0),
+            (v_pages_hbm, v_out, page_v, v_ins_ref, 1),
+        ]
+        if quantized:
+            pairs.append((k_scales_hbm, ks_out, page_ks, ks_ins_ref, 2))
+            pairs.append((v_scales_hbm, vs_out, page_vs, vs_ins_ref, 3))
+        # Read the token's page(s) into staging (from the INPUT refs —
+        # nothing has been written yet).
+        for src, _dst, stage, _ins, si in pairs:
+            pltpu.make_async_copy(
+                src.at[lyr, h, pid], stage, wsems.at[si]
+            ).start()
+        for src, _dst, stage, _ins, si in pairs:
+            pltpu.make_async_copy(
+                src.at[lyr, h, pid], stage, wsems.at[si]
+            ).wait()
+        # Insert the column: ins is lane-replicated, so a masked select
+        # against the lane iota picks the value without any transpose.
+        for _src, dst, stage, ins, si in pairs:
+            rows = stage.shape[0]
+            col_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, page_size), 1
+            )
+            ins_tile = ins[0, 0]
+            if page_size > 128:
+                ins_tile = jnp.tile(ins_tile, (1, page_size // 128))
+            else:
+                ins_tile = ins_tile[:, :page_size]
+            stage[:] = jnp.where(
+                col_iota == off, ins_tile.astype(stage.dtype), stage[:]
+            )
+            pltpu.make_async_copy(
+                stage, dst.at[lyr, h, pid], wsems.at[si]
+            ).start()
+        for _src, dst, stage, _ins, si in pairs:
+            pltpu.make_async_copy(
+                stage, dst.at[lyr, h, pid], wsems.at[si]
+            ).wait()
+
+        # Reads may now start: the pool (aliased in/out) holds the token.
+        start_dma(0, 0)
+
+    active = blk * block_tokens < length
+
+    @pl.when(active)
+    def _run():
+        @pl.when(jnp.logical_and(blk + 1 < num_blocks, (blk + 1) * block_tokens < length))
+        def _prefetch():
+            start_dma(blk + 1, next_slot)
+
+        wait_dma(slot, 0)
+        g_pad, d = q_ref.shape[2], q_ref.shape[3]
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_buf[slot].astype(jnp.float32)
+        if quantized:
+            k = k * ks_buf[slot, :1]
+        s = jax.lax.dot(q, k, preferred_element_type=jnp.float32) * sm_scale
+
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (g_pad, block_tokens), 1)
+            + blk * block_tokens
+        )
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:]
+        l_prev = l_scratch[:]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        if block_tokens <= 128:
+            m_wide = m_next[:, :block_tokens]
+        else:
+            m_wide = jnp.tile(m_next, (1, block_tokens // 128))
+        p = jnp.exp(s - m_wide)
+        alpha = jnp.exp(m_prev - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[:] = m_next
+        l_scratch[:] = l_next
+
+        wait_dma(slot, 1)
+        v = v_buf[slot].astype(jnp.float32)
+        if quantized:
+            p = p * vs_buf[slot, :1]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        alpha_d = alpha[:, :d] if d <= 128 else jnp.tile(alpha, (1, d // 128))
+        acc_scratch[:] = acc_scratch[:] * alpha_d + pv
+
+    @pl.when(blk == num_blocks - 1)
+    def _store():
+        l_fin = l_scratch[:]
+        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        d_ = acc_scratch.shape[-1]
+        l_inv_d = l_inv[:, :d_] if d_ <= 128 else jnp.tile(
+            l_inv, (1, d_ // 128)
+        )
+        o_ref[0, 0] = (acc_scratch[:] * l_inv_d).astype(o_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jax.Array,  # (B, Hq, D)
+    k_new: jax.Array,  # (B, Hkv, D) — current token's K (unquantized)
+    v_new: jax.Array,
+    k_pages: jax.Array,  # (L, Hkv, P, D, page)
+    v_pages: jax.Array,
+    lengths: jax.Array,  # (B,) length INCLUDING the current token
+    page_indices: jax.Array,  # (B, pages_per_seq)
+    flat_slots: jax.Array,  # (B,) slot of the current token
+    layer: jax.Array,  # scalar layer index
+    k_scales: Optional[jax.Array] = None,  # (L, Hkv, P, page)
+    v_scales: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    pages_per_block: int = 4,
+    interpret: Optional[bool] = None,
+):
+    """Fused decode step: write the token's K/V into the paged pool
+    (in place — pools are aliased in/out) and attend over it.
+
+    Returns ``(o, k_pages, v_pages)`` or
+    ``(o, k_pages, v_pages, k_scales, v_scales)`` when quantized —
+    thread the returned pools forward. See :func:`_fused_decode_kernel`
+    for why fusion (buffer economics, not arithmetic).
+    """
+    b, hq, d = q.shape
+    L, hkv, num_pages, _, page_size = k_pages.shape
+    group = hq // hkv
+    pages_per_seq = page_indices.shape[1]
+    interp = resolve_interpret(interpret)
+    if page_size % 128 and not interp:
+        raise ValueError(
+            f"paged_decode_attention on TPU requires page_size % 128 == 0,"
+            f" got {page_size}"
+        )
+    if pages_per_seq % pages_per_block:
+        pad = pages_per_block - pages_per_seq % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+        pages_per_seq += pad
+    num_blocks = pages_per_seq // pages_per_block
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    quantized = k_scales is not None
+    layer = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    lane = max(128, page_size if page_size <= 128 else 128)
+
+    g_pad = max(8, group)
+    qg = q.reshape(b, hkv, group, d)
+    if g_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    # Quantize the new token (per-token symmetric, same as the pool).
+    if quantized:
+        kq, ks_new = _quant_token_write(k_new)
+        vq, vs_new = _quant_token_write(v_new)
+        ks_ins = jnp.broadcast_to(ks_new[:, :, None, None], (b, hkv, 1, lane))
+        vs_ins = jnp.broadcast_to(vs_new[:, :, None, None], (b, hkv, 1, lane))
+        k_ins = jnp.broadcast_to(kq[..., None], (b, hkv, d, lane))
+        v_ins = jnp.broadcast_to(vq[..., None], (b, hkv, d, lane))
+        in_scale_shape = k_scales.shape
+        k_scales5 = k_scales.reshape(L, hkv, num_pages, 1, page_size)
+        v_scales5 = v_scales.reshape(L, hkv, num_pages, 1, page_size)
+    else:
+        k_ins = jnp.broadcast_to(
+            k_new.astype(k_pages.dtype)[..., None], (b, hkv, d, lane)
+        )
+        v_ins = jnp.broadcast_to(
+            v_new.astype(v_pages.dtype)[..., None], (b, hkv, d, lane)
+        )
+        ks_ins = jnp.zeros((1, 1, 1, lane), jnp.float32)
+        vs_ins = jnp.zeros((1, 1, 1, lane), jnp.float32)
+        k_scales5 = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
+        v_scales5 = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
+
+    kernel = functools.partial(
+        _fused_decode_kernel,
+        sm_scale=scale,
+        pages_per_block=pages_per_block,
+        pages_per_seq=pages_per_seq,
+        page_size=page_size,
+        quantized=quantized,
+    )
+
+    block_tokens = pages_per_block * page_size
+    sdtype = jnp.float32
+
+    def ins_spec(arr, blocked):
+        if blocked:
+            return pl.BlockSpec(
+                (1, 1) + arr.shape[2:],
+                lambda b_, h_, blk, *refs: (b_, h_, 0, 0),
+            )
+        return pl.BlockSpec(memory_space=pltpu.VMEM)  # tiny dummy
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv, num_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
+            ),
+            ins_spec(k_ins, True),
+            ins_spec(v_ins, True),
+            ins_spec(ks_ins, quantized),
+            ins_spec(vs_ins, quantized),
+            pl.BlockSpec(memory_space=pl.ANY),  # k_pages
+            pl.BlockSpec(memory_space=pl.ANY),  # v_pages
+            pl.BlockSpec(memory_space=pl.ANY),  # k_scales
+            pl.BlockSpec(memory_space=pl.ANY),  # v_scales
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, d), jnp.float32),
+            pltpu.VMEM((2, d, block_tokens), k_pages.dtype),
+            pltpu.VMEM((2, d, block_tokens), v_pages.dtype),
+            pltpu.VMEM((2, 1, block_tokens), sdtype),
+            pltpu.VMEM((2, 1, block_tokens), sdtype),
+            pltpu.SemaphoreType.DMA((2, 2, 2)),
+            pltpu.VMEM((d, page_size), k_pages.dtype),  # page_k staging
+            pltpu.VMEM((d, page_size), v_pages.dtype),
+            pltpu.VMEM((1, page_size), sdtype),
+            pltpu.VMEM((1, page_size), sdtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+            jax.ShapeDtypeStruct(k_scales5.shape, k_scales5.dtype),
+            jax.ShapeDtypeStruct(v_scales5.shape, v_scales5.dtype),
+        ),
+        # Operand indices include the 4 scalar-prefetch args:
+        # q=4, k_ins=5, v_ins=6, ks_ins=7, vs_ins=8, k_pages=9, v=10,
+        # ks=11, vs=12.
+        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(
+        layer,
+        lengths,
+        page_indices.reshape(-1),
+        flat_slots.astype(jnp.int32),
+        qg,
+        k_ins,
+        v_ins,
+        ks_ins,
+        vs_ins,
+        k_pages,
+        v_pages,
+        k_scales5,
+        v_scales5,
+    )
     o, k_out, v_out, ks_out, vs_out = outs
     o = o[:, :, :group].reshape(b, hq, d)
-    if rank4_in:  # restore the caller's rank
-        k_out, v_out = k_out[0], v_out[0]
-        if quantized:
-            in_scale_shape = in_scale_shape[1:]
-            ks_out, vs_out = ks_out[0], vs_out[0]
     if quantized:
         return (
             o,
@@ -444,6 +810,16 @@ def paged_attention(
             vs_out.reshape(in_scale_shape),
         )
     return o, k_out, v_out
+
+
+def _quant_token_write(x: jax.Array):
+    """Per-token int8 quantization for pool writes. x: (B, H, D)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    payload = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127.0, 127.0
+    ).astype(jnp.int8)
+    return payload, scale
 
 
 def paged_attention_auto(
@@ -458,16 +834,14 @@ def paged_attention_auto(
     sm_scale: Optional[float] = None,
     pages_per_block: int = 4,
     layer: Optional[jax.Array] = None,
-    alias_pools: bool = False,
-):
+) -> jax.Array:
     """Backend-aware dispatch: the Pallas DMA kernel on TPU when the page
     layout allows it (page_size % 128 == 0), the XLA gather otherwise.
 
     The choice happens at trace time (shapes/backend are static under
     jit), mirroring the engine's kernel registry dispatch
     (core/engine.py) for the decode path. Pools may carry a leading
-    layer axis (rank 5) with a scalar ``layer`` index, and
-    ``alias_pools=True`` flows them through as aliased outputs — see
+    layer axis (rank 5) with a scalar ``layer`` index — see
     :func:`paged_attention`.
     """
     page_size = k_pages.shape[-1]
@@ -476,9 +850,8 @@ def paged_attention_auto(
         return paged_attention(
             q, k_pages, v_pages, lengths, page_indices, k_scales, v_scales,
             sm_scale=sm_scale, pages_per_block=pages_per_block,
-            interpret=False, layer=layer, alias_pools=alias_pools,
+            interpret=False, layer=layer,
         )
-    k_full, v_full, ks_full, vs_full = k_pages, v_pages, k_scales, v_scales
     if k_pages.ndim == 5:
         # XLA fallback works on one layer's slice (CPU/tests only — the
         # dynamic slice materializes a layer-sized copy).
@@ -488,12 +861,7 @@ def paged_attention_auto(
         if quantized:
             k_scales = jax.lax.dynamic_index_in_dim(k_scales, lyr, 0, keepdims=False)
             v_scales = jax.lax.dynamic_index_in_dim(v_scales, lyr, 0, keepdims=False)
-    o = paged_attention_xla(
+    return paged_attention_xla(
         q, k_pages, v_pages, lengths, page_indices, k_scales, v_scales,
         sm_scale=sm_scale,
     )
-    if not alias_pools:
-        return o
-    if quantized:
-        return o, k_full, v_full, ks_full, vs_full
-    return o, k_full, v_full

@@ -108,25 +108,84 @@ class TestLayerIndexedPools:
         )
         assert rel_err_norm(out, ref) < 2e-2
 
-    def test_alias_pools_flow_through(self, rng, dtype):
-        cache, q, lengths, tables, ref = build_cache_and_oracle(
+    def test_fused_decode_write_and_attend(self, rng, dtype):
+        """paged_decode_attention must equal: scatter token -> attention."""
+        from photonic_flash_attention_tpu.ops.paged import (
+            paged_decode_attention,
+            paged_attention_xla,
+        )
+
+        cache, q, lengths, tables, _ = build_cache_and_oracle(
             rng, [40, 17], dtype=dtype
         )
         quant = cache.k_scales is not None
-        outs = paged_attention(
-            q, cache.k_pages, cache.v_pages, lengths, tables,
-            cache.k_scales, cache.v_scales, pages_per_block=2,
-            alias_pools=True,
+        L = 2
+        lyr = 1
+        k5 = jnp.stack([cache.k_pages] * L)
+        v5 = jnp.stack([cache.v_pages] * L)
+        ks5 = jnp.stack([cache.k_scales] * L) if quant else None
+        vs5 = jnp.stack([cache.v_scales] * L) if quant else None
+        b, hq, d = q.shape
+        hkv = cache.k_pages.shape[0]
+        page = cache.k_pages.shape[-1]
+        k_new = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
+        # current token goes at position `length` (so new length below)
+        new_lengths = lengths + 1
+        pids = tables[jnp.arange(b), lengths // page]
+        flat = pids * page + lengths % page
+
+        outs = paged_decode_attention(
+            q, k_new, v_new, k5, v5, new_lengths, tables, flat,
+            jnp.int32(lyr), ks5, vs5,
         )
         if quant:
-            out, k_out, v_out, ks_out, vs_out = outs
-            assert ks_out.shape == cache.k_scales.shape
-            np.testing.assert_array_equal(np.asarray(ks_out), np.asarray(cache.k_scales))
+            o, k5o, v5o, ks5o, vs5o = outs
         else:
-            out, k_out, v_out = outs
-        assert k_out.shape == cache.k_pages.shape
+            o, k5o, v5o = outs
+            ks5o = vs5o = None
+
+        # Oracle: write (possibly quantized) token into a copy, then XLA
+        # paged attention over layer lyr.
+        kp = np.asarray(cache.k_pages.astype(jnp.float32)).copy()
+        vp = np.asarray(cache.v_pages.astype(jnp.float32)).copy()
+        ks = np.asarray(cache.k_scales).copy() if quant else None
+        vs = np.asarray(cache.v_scales).copy() if quant else None
+
+        def write(pool, scales, new):
+            for b_ in range(b):
+                pid, off = int(pids[b_]), int(lengths[b_] % page)
+                col = np.asarray(new[b_], np.float32)  # (hkv, d)
+                if quant:
+                    s_ = np.abs(col).max(axis=1) / 127.0
+                    s_ = np.where(s_ == 0, 1.0, s_)
+                    q8 = np.clip(np.round(col / s_[:, None]), -127, 127)
+                    pool[:, pid, :, off] = q8
+                    scales[:, pid, off] = s_
+                else:
+                    pool[:, pid, :, off] = col
+
+        write(kp, ks, k_new)
+        write(vp, vs, v_new)
+        ref = paged_attention_xla(
+            q,
+            jnp.asarray(kp, cache.k_pages.dtype),
+            jnp.asarray(vp, cache.v_pages.dtype),
+            new_lengths,
+            tables,
+            jnp.asarray(ks) if quant else None,
+            jnp.asarray(vs) if quant else None,
+        )
+        assert rel_err_norm(o, ref) < 2e-2
+        # untouched layer 0 must be bit-identical
         np.testing.assert_array_equal(
-            np.asarray(k_out).astype(np.float32),
+            np.asarray(k5o[0]).astype(np.float32),
             np.asarray(cache.k_pages).astype(np.float32),
         )
-        assert rel_err_norm(out, ref) < 2e-2
+        # written layer contains the token
+        got = np.asarray(k5o[lyr]).astype(np.float32)
+        pid0, off0 = int(pids[0]), int(lengths[0] % page)
+        assert not np.array_equal(
+            got[:, pid0, :, off0],
+            np.asarray(cache.k_pages).astype(np.float32)[:, pid0, :, off0],
+        ) or quant is False and np.allclose(np.asarray(k_new[0]).T, 0)
