@@ -211,6 +211,7 @@ def serve_bench(args: argparse.Namespace) -> int:
                 num_pages=num_pages,
                 page_size=args.page_size,
                 max_pages_per_seq=pages_per_seq,
+                decode_window=args.decode_window,
             )
             for p in prompts:
                 eng.submit(p, args.new_tokens)
@@ -343,6 +344,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     # smaller pages fall back to the XLA gather path.
     s.add_argument("--page-size", type=int, default=128)
     s.add_argument("--kv-dtype", choices=("bf16", "int8", "both"), default="both")
+    # Device-resident decode window (steps per host round-trip).
+    s.add_argument("--decode-window", type=int, default=8)
     s.add_argument("--output", "-o", default=None)
     s.set_defaults(fn=serve_bench)
 

@@ -404,33 +404,33 @@ def _fused_decode_kernel(
     page_indices_ref,  # (B * pages_per_seq,) SMEM
     slots_ref,  # (B,) SMEM flat slot (page*page_size + off) of current token
     # inputs
-    q_ref,  # (1, 1, G_pad, D) VMEM
-    k_ins_ref,  # (1, 1, D, 128) VMEM — new K column lane-replicated
+    q_ref,  # (1, Hkv, G_pad, D) VMEM — all heads for this sequence
+    k_ins_ref,  # (1, Hkv, D, 128) VMEM — new K columns lane-replicated
     v_ins_ref,
-    ks_ins_ref,  # (1, 1, 1, 128) VMEM — new scale lane-replicated (or dummy)
+    ks_ins_ref,  # (1, Hkv, 1, 128) VMEM — new scales lane-replicated (or dummy)
     vs_ins_ref,
     k_pages_hbm,  # (L, Hkv, P, D, page) ANY — aliased to k_out
     v_pages_hbm,
     k_scales_hbm,  # (L, Hkv, P, 1, page) ANY or dummy
     v_scales_hbm,
     # outputs
-    o_ref,  # (1, 1, G_pad, D) VMEM
+    o_ref,  # (1, Hkv, G_pad, D) VMEM
     k_out,  # aliased pools
     v_out,
     ks_out,
     vs_out,
     # scratch
-    m_scratch,
+    m_scratch,  # (Hkv, G_pad, 128)
     l_scratch,
-    acc_scratch,
-    k_buf,
+    acc_scratch,  # (Hkv, G_pad, D)
+    k_buf,  # (2, Hkv, D, block_tokens)
     v_buf,
-    ks_buf,
+    ks_buf,  # (2, Hkv, 1, block_tokens)
     vs_buf,
     sems,  # (2, 2, 2) DMA sems for block reads
-    page_k,  # (D, page) VMEM — RMW staging
+    page_k,  # (Hkv, D, page) VMEM — RMW staging
     page_v,
-    page_ks,  # (1, page)
+    page_ks,  # (Hkv, 1, page)
     page_vs,
     wsems,  # (4,) DMA sems for the RMW
     *,
@@ -440,55 +440,57 @@ def _fused_decode_kernel(
     page_size: int,
     quantized: bool,
 ):
-    """Fused decode: write the current token's K/V column into its page
-    (read page -> insert column -> write back), THEN run paged attention
-    over the pool — which now already contains the token, so the read
-    path is identical to :func:`_paged_kernel`.
+    """Fused decode, head-folded: grid is (B, kv_blocks) — ALL kv heads
+    are handled inside one grid step with batched matmuls, and each page
+    DMA grabs the (Hkv, D, page) slice for every head at once.
 
-    The fusion exists for buffer economics, not arithmetic: with a
-    separate XLA scatter, the scattered pool has TWO consumers (the
-    attention kernel and the next layer's carry), so XLA must copy the
-    whole pool every layer (~1 ms for a 640 MB pool on v5e, measured).
-    Here the pool is genuinely aliased in/out of ONE pallas call and
-    never copied. Pass-through aliasing without the in-kernel write was
-    measured to make things WORSE (the runtime copies input->output).
+    Two reasons this kernel exists (vs. a scatter + per-head attention):
+
+    * buffer economics — a separate XLA scatter gives the written pool
+      two consumers (attention + the next layer's carry), so XLA copies
+      the whole pool every layer (~1 ms per 640 MB pool on v5e);
+      here the pool is genuinely aliased in/out of ONE pallas call.
+    * grid-step economics — the per-(b, h) grid ran B*Hkv tiny steps per
+      layer whose DMA-issue + step overhead dominated decode; folding
+      heads cuts grid steps by Hkv and makes each DMA Hkv x larger.
+
+    The token write happens BEFORE any block-read DMA (read page ->
+    masked column insert -> write back), so the attention path simply
+    sees a pool that already contains the current token. All pool reads
+    go through the aliased OUTPUT refs (compiled mode: same buffer;
+    interpreter mode: only the output observes the write).
     """
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    blk = pl.program_id(2)
-    num_blocks = pl.num_programs(2)
+    blk = pl.program_id(1)
+    num_blocks = pl.num_programs(1)
     lyr = layer_ref[0]
     length = lengths_ref[b]
     block_tokens = pages_per_block * page_size
 
-    # All pool READS go through the aliased OUTPUT refs: in compiled
-    # mode input and output are the same buffer, and in interpreter mode
-    # only the output ref is guaranteed to observe the RMW token write
-    # below (the interpreter may keep logically-aliased buffers apart).
     def start_dma(block_idx, slot):
         for i in range(pages_per_block):
             flat = b * pages_per_seq + block_idx * pages_per_block + i
             page_id = page_indices_ref[flat]
             lanes = pl.ds(i * page_size, page_size)
             pltpu.make_async_copy(
-                k_out.at[lyr, h, page_id],
-                k_buf.at[slot, :, lanes],
+                k_out.at[lyr, :, page_id],  # (Hkv, D, page) strided
+                k_buf.at[slot, :, :, lanes],
                 sems.at[slot, 0, 0],
             ).start()
             pltpu.make_async_copy(
-                v_out.at[lyr, h, page_id],
-                v_buf.at[slot, :, lanes],
+                v_out.at[lyr, :, page_id],
+                v_buf.at[slot, :, :, lanes],
                 sems.at[slot, 1, 0],
             ).start()
             if quantized:
                 pltpu.make_async_copy(
-                    ks_out.at[lyr, h, page_id],
-                    ks_buf.at[slot, :, lanes],
+                    ks_out.at[lyr, :, page_id],  # (Hkv, 1, page)
+                    ks_buf.at[slot, :, :, lanes],
                     sems.at[slot, 0, 1],
                 ).start()
                 pltpu.make_async_copy(
-                    vs_out.at[lyr, h, page_id],
-                    vs_buf.at[slot, :, lanes],
+                    vs_out.at[lyr, :, page_id],
+                    vs_buf.at[slot, :, :, lanes],
                     sems.at[slot, 1, 1],
                 ).start()
 
@@ -497,24 +499,24 @@ def _fused_decode_kernel(
         for _ in range(pages_per_block):
             if which == 0:
                 pltpu.make_async_copy(
-                    k_out.at[0, h, 0], k_buf.at[slot, :, lanes0], sems.at[slot, 0, 0]
+                    k_out.at[0, :, 0], k_buf.at[slot, :, :, lanes0], sems.at[slot, 0, 0]
                 ).wait()
             else:
                 pltpu.make_async_copy(
-                    v_out.at[0, h, 0], v_buf.at[slot, :, lanes0], sems.at[slot, 1, 0]
+                    v_out.at[0, :, 0], v_buf.at[slot, :, :, lanes0], sems.at[slot, 1, 0]
                 ).wait()
         if quantized:
             for _ in range(pages_per_block):
                 if which == 0:
                     pltpu.make_async_copy(
-                        ks_out.at[0, h, 0],
-                        ks_buf.at[slot, :, lanes0],
+                        ks_out.at[0, :, 0],
+                        ks_buf.at[slot, :, :, lanes0],
                         sems.at[slot, 0, 1],
                     ).wait()
                 else:
                     pltpu.make_async_copy(
-                        vs_out.at[0, h, 0],
-                        vs_buf.at[slot, :, lanes0],
+                        vs_out.at[0, :, 0],
+                        vs_buf.at[slot, :, :, lanes0],
                         sems.at[slot, 1, 1],
                     ).wait()
 
@@ -527,7 +529,7 @@ def _fused_decode_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-        # --- RMW token write, BEFORE any read DMA ------------------------
+        # --- RMW token write (all heads at once), BEFORE any read DMA ---
         flat = slots_ref[b]
         pid = flat // page_size
         off = flat % page_size
@@ -538,37 +540,35 @@ def _fused_decode_kernel(
         if quantized:
             pairs.append((k_scales_hbm, ks_out, page_ks, ks_ins_ref, 2))
             pairs.append((v_scales_hbm, vs_out, page_vs, vs_ins_ref, 3))
-        # Read the token's page(s) into staging (from the INPUT refs —
-        # nothing has been written yet).
         for src, _dst, stage, _ins, si in pairs:
             pltpu.make_async_copy(
-                src.at[lyr, h, pid], stage, wsems.at[si]
+                src.at[lyr, :, pid], stage, wsems.at[si]
             ).start()
         for src, _dst, stage, _ins, si in pairs:
             pltpu.make_async_copy(
-                src.at[lyr, h, pid], stage, wsems.at[si]
+                src.at[lyr, :, pid], stage, wsems.at[si]
             ).wait()
-        # Insert the column: ins is lane-replicated, so a masked select
-        # against the lane iota picks the value without any transpose.
+        # Masked column insert: ins is lane-replicated -> a select against
+        # the lane iota places the value with no transpose.
         for _src, dst, stage, ins, si in pairs:
-            rows = stage.shape[0]
+            hkv_, rows = stage.shape[0], stage.shape[1]
             col_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (rows, page_size), 1
+                jnp.int32, (hkv_, rows, page_size), 2
             )
-            ins_tile = ins[0, 0]
+            ins_tile = ins[0]  # (Hkv, rows, 128)
             if page_size > 128:
-                ins_tile = jnp.tile(ins_tile, (1, page_size // 128))
+                ins_tile = jnp.tile(ins_tile, (1, 1, page_size // 128))
             else:
-                ins_tile = ins_tile[:, :page_size]
+                ins_tile = ins_tile[:, :, :page_size]
             stage[:] = jnp.where(
                 col_iota == off, ins_tile.astype(stage.dtype), stage[:]
             )
             pltpu.make_async_copy(
-                stage, dst.at[lyr, h, pid], wsems.at[si]
+                stage, dst.at[lyr, :, pid], wsems.at[si]
             ).start()
         for _src, dst, stage, _ins, si in pairs:
             pltpu.make_async_copy(
-                stage, dst.at[lyr, h, pid], wsems.at[si]
+                stage, dst.at[lyr, :, pid], wsems.at[si]
             ).wait()
 
         # Reads may now start: the pool (aliased in/out) holds the token.
@@ -583,41 +583,49 @@ def _fused_decode_kernel(
             start_dma(blk + 1, next_slot)
 
         wait_dma(slot, 0)
-        g_pad, d = q_ref.shape[2], q_ref.shape[3]
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_buf[slot].astype(jnp.float32)
+        hkv_, g_pad, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+        q = q_ref[0].astype(jnp.float32)  # (Hkv, G_pad, D)
+        k = k_buf[slot].astype(jnp.float32)  # (Hkv, D, T)
         if quantized:
-            k = k * ks_buf[slot, :1]
-        s = jax.lax.dot(q, k, preferred_element_type=jnp.float32) * sm_scale
+            k = k * ks_buf[slot]  # (Hkv, 1, T) broadcast over D
+        # Batched (over heads) matmul: (Hkv, G, D) x (Hkv, D, T).
+        s = jax.lax.dot_general(
+            q, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # (Hkv, G_pad, T)
 
         pos = (
-            jax.lax.broadcasted_iota(jnp.int32, (g_pad, block_tokens), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (hkv_, g_pad, block_tokens), 2)
             + blk * block_tokens
         )
         s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[:]
+        m_prev = m_scratch[:]  # (Hkv, G_pad, 128) lane-replicated
         l_prev = l_scratch[:]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_curr = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         if block_tokens <= 128:
-            m_wide = m_next[:, :block_tokens]
+            m_wide = m_next[:, :, :block_tokens]
         else:
-            m_wide = jnp.tile(m_next, (1, block_tokens // 128))
+            m_wide = jnp.tile(m_next, (1, 1, block_tokens // 128))
         p = jnp.exp(s - m_wide)
         alpha = jnp.exp(m_prev - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
         m_scratch[:] = m_next
         l_scratch[:] = l_next
 
         wait_dma(slot, 1)
-        v = v_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)  # (Hkv, D, T)
         if quantized:
-            p = p * vs_buf[slot, :1]
+            p = p * vs_buf[slot]  # fold V scales into P
+        # (Hkv, G, T) x (Hkv, D, T) contracting T on both (A.B^T form).
         pv = jax.lax.dot_general(
-            p, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Hkv, G_pad, D)
+        alpha_d = (
+            alpha[:, :, :d] if d <= 128 else jnp.tile(alpha, (1, 1, d // 128))
         )
-        alpha_d = alpha[:, :d] if d <= 128 else jnp.tile(alpha, (1, d // 128))
         acc_scratch[:] = acc_scratch[:] * alpha_d + pv
 
     @pl.when(blk == num_blocks - 1)
@@ -625,10 +633,10 @@ def _fused_decode_kernel(
         l_fin = l_scratch[:]
         l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
         d_ = acc_scratch.shape[-1]
-        l_inv_d = l_inv[:, :d_] if d_ <= 128 else jnp.tile(
-            l_inv, (1, d_ // 128)
+        l_inv_d = (
+            l_inv[:, :, :d_] if d_ <= 128 else jnp.tile(l_inv, (1, 1, d_ // 128))
         )
-        o_ref[0, 0] = (acc_scratch[:] * l_inv_d).astype(o_ref.dtype)
+        o_ref[0] = (acc_scratch[:] * l_inv_d).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
@@ -654,7 +662,7 @@ def paged_decode_attention(
     Returns ``(o, k_pages, v_pages)`` or
     ``(o, k_pages, v_pages, k_scales, v_scales)`` when quantized —
     thread the returned pools forward. See :func:`_fused_decode_kernel`
-    for why fusion (buffer economics, not arithmetic).
+    for the two structural reasons the fusion exists.
     """
     b, hq, d = q.shape
     L, hkv, num_pages, _, page_size = k_pages.shape
@@ -674,7 +682,7 @@ def paged_decode_attention(
     scale = sm_scale if sm_scale is not None else d ** -0.5
     quantized = k_scales is not None
     layer = jnp.reshape(layer, (1,)).astype(jnp.int32)
-    lane = max(128, page_size if page_size <= 128 else 128)
+    lane = 128
 
     g_pad = max(8, group)
     qg = q.reshape(b, hkv, group, d)
@@ -699,10 +707,10 @@ def paged_decode_attention(
         v_ins = jnp.broadcast_to(
             v_new.astype(v_pages.dtype)[..., None], (b, hkv, d, lane)
         )
-        ks_ins = jnp.zeros((1, 1, 1, lane), jnp.float32)
-        vs_ins = jnp.zeros((1, 1, 1, lane), jnp.float32)
-        k_scales5 = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
-        v_scales5 = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
+        ks_ins = jnp.zeros((b, hkv, 1, lane), jnp.float32)
+        vs_ins = jnp.zeros((b, hkv, 1, lane), jnp.float32)
+        k_scales5 = jnp.zeros((1, hkv, 1, 1, 128), jnp.float32)
+        v_scales5 = jnp.zeros((1, hkv, 1, 1, 128), jnp.float32)
 
     kernel = functools.partial(
         _fused_decode_kernel,
@@ -716,25 +724,20 @@ def paged_decode_attention(
     block_tokens = pages_per_block * page_size
     sdtype = jnp.float32
 
-    def ins_spec(arr, blocked):
-        if blocked:
-            return pl.BlockSpec(
-                (1, 1) + arr.shape[2:],
-                lambda b_, h_, blk, *refs: (b_, h_, 0, 0),
-            )
-        return pl.BlockSpec(memory_space=pltpu.VMEM)  # tiny dummy
+    def seq_spec(arr):
+        return pl.BlockSpec(
+            (1,) + arr.shape[1:], lambda b_, blk, *refs: (b_, 0, 0, 0)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, hkv, num_blocks),
+        grid=(b, num_blocks),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
-            ),
-            ins_spec(k_ins, True),
-            ins_spec(v_ins, True),
-            ins_spec(ks_ins, quantized),
-            ins_spec(vs_ins, quantized),
+            seq_spec(qg),
+            seq_spec(k_ins),
+            seq_spec(v_ins),
+            seq_spec(ks_ins),
+            seq_spec(vs_ins),
             pl.BlockSpec(memory_space=pl.ANY),  # k_pages
             pl.BlockSpec(memory_space=pl.ANY),  # v_pages
             pl.BlockSpec(memory_space=pl.ANY),  # k_scales
@@ -742,7 +745,7 @@ def paged_decode_attention(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, g_pad, d), lambda b_, h_, blk, *refs: (b_, h_, 0, 0)
+                (1, hkv, g_pad, d), lambda b_, blk, *refs: (b_, 0, 0, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -750,18 +753,18 @@ def paged_decode_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((g_pad, 128), jnp.float32),
-            pltpu.VMEM((g_pad, 128), jnp.float32),
-            pltpu.VMEM((g_pad, d), jnp.float32),
-            pltpu.VMEM((2, d, block_tokens), k_pages.dtype),
-            pltpu.VMEM((2, d, block_tokens), v_pages.dtype),
-            pltpu.VMEM((2, 1, block_tokens), sdtype),
-            pltpu.VMEM((2, 1, block_tokens), sdtype),
+            pltpu.VMEM((hkv, g_pad, 128), jnp.float32),
+            pltpu.VMEM((hkv, g_pad, 128), jnp.float32),
+            pltpu.VMEM((hkv, g_pad, d), jnp.float32),
+            pltpu.VMEM((2, hkv, d, block_tokens), k_pages.dtype),
+            pltpu.VMEM((2, hkv, d, block_tokens), v_pages.dtype),
+            pltpu.VMEM((2, hkv, 1, block_tokens), sdtype),
+            pltpu.VMEM((2, hkv, 1, block_tokens), sdtype),
             pltpu.SemaphoreType.DMA((2, 2, 2)),
-            pltpu.VMEM((d, page_size), k_pages.dtype),  # page_k staging
-            pltpu.VMEM((d, page_size), v_pages.dtype),
-            pltpu.VMEM((1, page_size), sdtype),
-            pltpu.VMEM((1, page_size), sdtype),
+            pltpu.VMEM((hkv, d, page_size), k_pages.dtype),  # page staging
+            pltpu.VMEM((hkv, d, page_size), v_pages.dtype),
+            pltpu.VMEM((hkv, 1, page_size), sdtype),
+            pltpu.VMEM((hkv, 1, page_size), sdtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -781,7 +784,7 @@ def paged_decode_attention(
         # ks=11, vs=12.
         input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interp,
     )(
