@@ -91,7 +91,13 @@ def _make_decode_window(decode_fn, cfg, page_size: int, quantized: bool):
     # Without donation XLA pays one pool copy per window (~1 ms for a
     # 640 MB pool), amortized over the window's steps.
     @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def window(params, ids, positions, pages_tree, lengths, page_tables, *, n_steps):
+    def window(params, host_state, pages_tree, page_tables, *, n_steps):
+        # host_state packs (ids, positions, lengths) as ONE (3, B) int32
+        # upload: through a tunneled runtime each host->device transfer
+        # is its own ~25 ms round-trip, so one packed array (plus the
+        # page tables, uploaded only when admission changes them) keeps
+        # the per-window host cost at a single transfer.
+        ids, positions, lengths = host_state[0], host_state[1], host_state[2]
         rows = jnp.arange(ids.shape[0])
 
         def body(carry, _):
@@ -240,6 +246,9 @@ class ServingEngine:
         # (FIFO within priority, wait-time percentiles).
         self._sched = make_scheduler()
         self._next_id = 0
+        # Device-resident page-table cache (see step()).
+        self._dev_tables = None
+        self._tables_dirty = True
         # stats
         self._prefill_tokens = 0
         self._decode_tokens = 0
@@ -299,6 +308,7 @@ class ServingEngine:
             seq.page_ids = self._alloc.page_ids(seq.alloc_id)
             seq.slot = slot
             self._slots[slot] = sid
+            self._tables_dirty = True
             self._prefill(seq)
 
     def _flat_slot(self, seq: _Sequence, token_idx: int) -> int:
@@ -347,6 +357,7 @@ class ServingEngine:
         if seq.slot is not None:
             self._slots[seq.slot] = None
             seq.slot = None
+            self._tables_dirty = True
         if seq.alloc_id is not None:
             self._alloc.free_sequence(seq.alloc_id)
             seq.alloc_id = None
@@ -383,32 +394,42 @@ class ServingEngine:
 
         b = self.max_batch
         n_steps = self._window_steps(active)
-        ids = np.zeros((b,), np.int32)
-        pos = np.zeros((b,), np.int32)
-        lengths = np.zeros((b,), np.int32)
-        tables = np.zeros((b, self.max_pages_per_seq), np.int32)
+        # One packed (3, B) host upload: ids / positions / lengths.
+        host = np.zeros((3, b), np.int32)
         for slot in range(b):
             sid = self._slots[slot]
             if sid is None:
-                lengths[slot] = 0  # fully masked; writes land in trash page
-                continue
+                continue  # length 0: fully masked; writes land in trash
             seq = self._sequences[sid]
             # The model consumes the LAST token (already appended) and
             # writes its K/V at position length-1.
             idx = seq.length - 1
-            ids[slot] = seq.tokens[idx]
-            pos[slot] = idx
-            lengths[slot] = seq.length
-            tables[slot, : len(seq.page_ids)] = seq.page_ids
+            host[0, slot] = seq.tokens[idx]
+            host[1, slot] = idx
+            host[2, slot] = seq.length
+        # Page tables change only at admission/retirement: keep them
+        # device-resident between windows (each host->device transfer is
+        # a full round-trip through tunneled runtimes). Stale rows after
+        # retirement MUST be zeroed (the dirty flag forces a rebuild) or
+        # an empty slot would keep writing its trash token into pages
+        # that may have been recycled to a new sequence.
+        if self._dev_tables is None or self._tables_dirty:
+            tables = np.zeros((b, self.max_pages_per_seq), np.int32)
+            for slot in range(b):
+                sid = self._slots[slot]
+                if sid is None:
+                    continue
+                seq = self._sequences[sid]
+                tables[slot, : len(seq.page_ids)] = seq.page_ids
+            self._dev_tables = jnp.asarray(tables)
+            self._tables_dirty = False
 
         t0 = time.perf_counter()
         toks, self.pages_tree = self._window(
             self.params,
-            jnp.asarray(ids),
-            jnp.asarray(pos),
+            jnp.asarray(host),
             self.pages_tree,
-            jnp.asarray(lengths),
-            jnp.asarray(tables),
+            self._dev_tables,
             n_steps=n_steps,
         )
         toks = np.asarray(toks)  # (n_steps, B)
