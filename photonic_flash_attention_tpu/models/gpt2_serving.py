@@ -32,8 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
-from ..ops.paged import paged_attention_auto, paged_decode_attention
-from ..ops.pallas_utils import resolve_interpret
+from ..ops.paged import paged_decode_attention
 from .gpt2 import GPT2Config
 
 INT8_MAX = 127.0
