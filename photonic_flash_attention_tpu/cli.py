@@ -345,7 +345,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     s.add_argument("--page-size", type=int, default=128)
     s.add_argument("--kv-dtype", choices=("bf16", "int8", "both"), default="both")
     # Device-resident decode window (steps per host round-trip).
-    s.add_argument("--decode-window", type=int, default=8)
+    s.add_argument("--decode-window", type=int, default=16)
     s.add_argument("--output", "-o", default=None)
     s.set_defaults(fn=serve_bench)
 

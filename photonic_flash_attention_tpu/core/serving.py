@@ -232,8 +232,10 @@ class ServingEngine:
         # Device-resident decode window: up to this many decode steps run
         # inside one compiled lax.scan between host syncs (power of two;
         # each distinct effective window size compiles once). 1 restores
-        # strict per-token scheduling (lowest admission latency).
-        decode_window: int = 8,
+        # strict per-token scheduling. At the measured ~0.9 ms/step a
+        # 16-step window adds ~14 ms of admission latency — negligible
+        # against the per-window dispatch cost it amortizes.
+        decode_window: int = 16,
     ) -> None:
         self.cfg = cfg
         self.params = params
