@@ -339,9 +339,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     # None = auto-size: batch * pages-per-seq + slack (a 1024-page pool of
     # 128-token pages would be ~5 GB of bf16 KV for GPT-2 small).
     s.add_argument("--num-pages", type=int, default=None)
-    # 128-token pages activate the Pallas DMA decode kernel on TPU
-    # (token-minor page slices must be 128-lane aligned, see ops/paged.py);
-    # smaller pages fall back to the XLA gather path.
+    # On TPU, pages must be multiples of 128 tokens (token-minor page
+    # slices must be 128-lane aligned, see ops/paged.py) — the engine
+    # rejects other sizes at construction. Off-TPU any size works
+    # (interpret-mode kernels).
     s.add_argument("--page-size", type=int, default=128)
     s.add_argument("--kv-dtype", choices=("bf16", "int8", "both"), default="both")
     # Device-resident decode window (steps per host round-trip).

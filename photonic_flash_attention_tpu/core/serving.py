@@ -237,6 +237,17 @@ class ServingEngine:
         # against the per-window dispatch cost it amortizes.
         decode_window: int = 16,
     ) -> None:
+        # The fused Pallas decode kernel is the only decode path on TPU
+        # (its aliased-pool write+attend structure has no XLA equivalent
+        # with the same buffer economics), and it requires 128-lane-
+        # aligned page slices. Fail at construction with a clear message
+        # instead of a deep trace-time error on the first decode.
+        if page_size % 128 != 0 and jax.default_backend() == "tpu":
+            raise ValueError(
+                f"ServingEngine on TPU requires page_size % 128 == 0 "
+                f"(token-minor page DMA alignment, see ops/paged.py); "
+                f"got page_size={page_size}"
+            )
         self.cfg = cfg
         self.params = params
         self.page_size = page_size

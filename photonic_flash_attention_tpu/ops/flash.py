@@ -579,6 +579,23 @@ def _choose_block(seq: int, default: int) -> int:
     return min(default, max(NUM_LANES, round_up(seq, NUM_LANES)))
 
 
+def _check_blocks(block_q: int, block_kv: int) -> None:
+    """Validate caller-supplied tile sizes up front.
+
+    The lane-replicated running-stats layout (see ``_flash_fwd_kernel``)
+    tiles (block_q, 128) stat vectors across the kv tile, so block_kv
+    must be an exact multiple of the 128-lane width (and block_q of the
+    sublane granule). Without this check a size like 192 fails deep in
+    Mosaic with an obscure tiling error.
+    """
+    for name, val in (("block_q", block_q), ("block_kv", block_kv)):
+        if val % NUM_LANES != 0:
+            raise ValueError(
+                f"{name}={val} must be a multiple of {NUM_LANES} "
+                f"(lane-replicated softmax stats tile in 128-lane units)"
+            )
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
@@ -917,6 +934,7 @@ def flash_attention(
     # lane-broadcast overhead used to grow with grid steps).
     bq = block_q or _choose_block(sq, 512)
     bkv = block_kv or _choose_block(skv, 512)
+    _check_blocks(bq, bkv)
     interp = resolve_interpret(interpret)
 
     qt = q.transpose(0, 2, 1, 3)
@@ -969,6 +987,7 @@ def flash_attention_with_lse(
     scale = sm_scale if sm_scale is not None else d ** -0.5
     bq = block_q or _choose_block(sq, 512)
     bkv = block_kv or _choose_block(skv, 512)
+    _check_blocks(bq, bkv)
     interp = resolve_interpret(interpret)
     o, lse = _flash_core_fwd_impl(
         q.transpose(0, 2, 1, 3),

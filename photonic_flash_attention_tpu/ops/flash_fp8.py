@@ -210,6 +210,9 @@ def flash_attention_quant(
     # Native GQA: q-head groups share the kv head via index maps (same
     # trick as ops/flash.py — no repeated KV payloads or scales in HBM).
     group = hq // hkv
+    from .flash import _check_blocks
+
+    _check_blocks(block_q, block_kv)
 
     scale = sm_scale if sm_scale is not None else d ** -0.5
     interp = resolve_interpret(interpret)

@@ -199,7 +199,15 @@ def _paged_kernel(
         m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
-        start_dma(0, 0)
+
+        # Guarded by the same predicate the first wait_dma runs under
+        # (active at blk=0 is `length > 0`): an empty slot (length 0 —
+        # routine when the serving batch isn't full) must not start DMAs
+        # that are never waited, or the leaked semaphore credits satisfy
+        # a later grid row's wait before its own copies land.
+        @pl.when(length > 0)
+        def _():
+            start_dma(0, 0)
 
     active = blk * block_tokens < length
 
@@ -341,7 +349,6 @@ def paged_attention(
     sdtype = jnp.float32
     # Scales travel as (L, Hkv, P, 1, page) so each per-page DMA is a
     # full (1, page) tile (see kernel comment).
-    in_scale_shape = k_scales.shape if quantized else None
     if quantized:
         k_scales = k_scales.reshape(L, hkv, num_pages, 1, page_size)
         v_scales = v_scales.reshape(L, hkv, num_pages, 1, page_size)
@@ -572,7 +579,15 @@ def _fused_decode_kernel(
             ).wait()
 
         # Reads may now start: the pool (aliased in/out) holds the token.
-        start_dma(0, 0)
+        # Guarded by the same predicate the first wait_dma runs under
+        # (active at blk=0 is `length > 0`): an empty serving slot must
+        # not start DMAs that are never waited — the leaked semaphore
+        # credits would satisfy a later grid row's wait early, reading
+        # stale K/V. (The RMW above is safe for empty slots: their page
+        # table rows point at the reserved trash page.)
+        @pl.when(length > 0)
+        def _():
+            start_dma(0, 0)
 
     active = blk * block_tokens < length
 
