@@ -29,11 +29,12 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import get_config
 from ..ops.flash import flash_attention
 from ..ops.fused import fused_attention
-from ..ops.reference import attention_blockwise
+from ..ops.reference import DEFAULT_MASK_VALUE, attention_blockwise
 from ..utils.exceptions import ComputationError
 from ..utils.logging import get_logger
 from ..utils.monitoring import get_metrics
@@ -48,6 +49,48 @@ logger = get_logger("engine")
 # constants (GPU 300W@50TOPS, photonic 10W@10TOPS, hybrid_router.py:599-611);
 # we integrate measured wall-time instead.
 CHIP_POWER_WATTS = 170.0
+
+
+def _analyze_mask(mask, b: int, skv: int):
+    """Classify a concrete boolean mask for kernel routing.
+
+    Returns ``(mask_kind, kv_lens, k_bias)``:
+
+    * ``("none", None, None)`` — no mask;
+    * ``("key", lens, None)`` — per-batch contiguous prefix (standard
+      right-padding): exactly expressible as per-row valid lengths, the
+      flash kernel's cheapest masked form (dynamic kv-block skip);
+    * ``("key", lens, bias)`` — key-padding with a non-contiguous
+      pattern: exact via the per-key additive bias, with the last-valid
+      position as the tile-skip upper bound;
+    * ``("dense", None, None)`` — genuine (Sq, Skv) structure (or a
+      traced mask whose values can't be inspected): fused path only.
+
+    This is the honest replacement for the reference's blanket
+    mask->standard-path gate (its tiled kernel applied attention_mask
+    inside the tile loop, reference flash_attention_3.py:150,165-175).
+    """
+    if mask is None:
+        return "none", None, None
+    if isinstance(mask, jax.core.Tracer):
+        return "dense", None, None
+    m = np.asarray(mask).astype(bool)
+    while m.ndim < 4:
+        m = m[None]
+    # Head- and query-row-invariant => a pure key mask.
+    if m.shape[1] != 1 and not (m == m[:, :1]).all():
+        return "dense", None, None
+    mh = m[:, :1]
+    if mh.shape[2] != 1 and not (mh == mh[:, :, :1]).all():
+        return "dense", None, None
+    km = np.broadcast_to(mh[:, 0, 0, :], (b, skv))
+    any_valid = km.any(axis=1)
+    lens = np.where(any_valid, skv - np.argmax(km[:, ::-1], axis=1), 0)
+    lens = lens.astype(np.int32)
+    if (km == (np.arange(skv)[None, :] < lens[:, None])).all():
+        return "key", jnp.asarray(lens), None
+    k_bias = np.where(km, 0.0, DEFAULT_MASK_VALUE).astype(np.float32)
+    return "key", jnp.asarray(lens), jnp.asarray(k_bias)
 
 
 class AttentionEngine:
@@ -93,11 +136,11 @@ class AttentionEngine:
         kind: KernelKind,
         causal: bool,
         need_weights: bool,
-        has_mask: bool,
+        mask_kind: str,
         block_q: int,
         block_kv: int,
     ) -> Callable:
-        key = (kind, causal, need_weights, has_mask, block_q, block_kv)
+        key = (kind, causal, need_weights, mask_kind, block_q, block_kv)
         with self._lock:
             fn = self._jit_cache.get(key)
             if fn is not None:
@@ -109,6 +152,24 @@ class AttentionEngine:
             def fn(q, k, v, mask=None):
                 return fused_attention(
                     q, k, v, mask, causal=causal, need_weights=need_weights
+                )
+
+        elif kind == KernelKind.FLASH and mask_kind == "key":
+
+            @functools.partial(jax.jit, static_argnames=())
+            def fn(q, k, v, kv_lens=None, k_bias=None):
+                return (
+                    flash_attention(
+                        q,
+                        k,
+                        v,
+                        causal=causal,
+                        block_q=block_q,
+                        block_kv=block_kv,
+                        kv_lens=kv_lens,
+                        k_bias=k_bias,
+                    ),
+                    None,
                 )
 
         elif kind == KernelKind.FLASH:
@@ -191,15 +252,29 @@ class AttentionEngine:
         *,
         causal: bool = False,
         need_weights: bool = False,
+        kv_lens: Optional[jax.Array] = None,
+        k_bias: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Route and execute one attention call.
 
         Args/returns match the drop-in module contract: (B, S, H, D) in,
-        ((B, S, H, D), optional (B, H, Sq, Skv) weights) out.
+        ((B, S, H, D), optional (B, H, Sq, Skv) weights) out. Key
+        padding may be passed pre-converted as ``kv_lens``/``k_bias``
+        (see models.attention.padding_mask_to_lens_bias) instead of a
+        dense ``mask``; a concrete dense mask that is really a key mask
+        is detected and converted automatically.
         """
         validate_attention_inputs(q, k, v, mask)
         b, sq, hq, d = q.shape
         skv = k.shape[1]
+        if kv_lens is not None or k_bias is not None:
+            if mask is not None:
+                raise ComputationError(
+                    "pass either mask or kv_lens/k_bias, not both"
+                )
+            mask_kind = "key"
+        else:
+            mask_kind, kv_lens, k_bias = _analyze_mask(mask, b, skv)
         w = WorkloadCharacteristics(
             batch_size=b,
             q_len=sq,
@@ -207,7 +282,7 @@ class AttentionEngine:
             num_heads=hq,
             head_dim=d,
             causal=causal,
-            has_mask=mask is not None,
+            mask_kind=mask_kind,
             need_weights=need_weights,
             is_decode=(sq == 1),
             dtype=str(q.dtype),
@@ -222,21 +297,37 @@ class AttentionEngine:
                 w, self.router.eligible_kernels(w, available)
             )
 
+        def run(kind: KernelKind, block_q: int, block_kv: int):
+            fn = self._get_jitted(
+                kind, causal, need_weights, mask_kind, block_q, block_kv
+            )
+            if kind == KernelKind.FLASH and mask_kind == "key":
+                return fn(q, k, v, kv_lens=kv_lens, k_bias=k_bias)
+            dense = mask
+            if dense is None and mask_kind == "key":
+                # Key mask arrived as lens/bias but a dense-mask kernel
+                # (fused) was chosen: rebuild the boolean form.
+                if k_bias is not None:
+                    keep = k_bias >= DEFAULT_MASK_VALUE / 2
+                else:
+                    keep = (
+                        jnp.arange(skv, dtype=jnp.int32)[None]
+                        < kv_lens[:, None]
+                    )
+                dense = keep[:, None, None, :]
+            return fn(q, k, v, dense)
+
         block_q, block_kv = self._blocks_for(w)
         t0 = time.perf_counter()
         try:
-            fn = self._get_jitted(
-                kind, causal, need_weights, mask is not None, block_q, block_kv
-            )
-            out, weights = fn(q, k, v, mask)
+            out, weights = run(kind, block_q, block_kv)
             out.block_until_ready()
         except Exception as e:  # noqa: BLE001 - any kernel failure falls back
             # Failure fallback (reference photonic→GPU, hybrid_router.py:432-438).
             self._failure_counts[kind.value] = self._failure_counts.get(kind.value, 0) + 1
             logger.warning("kernel %s failed (%s); falling back to fused", kind.value, e)
             kind = KernelKind.FUSED
-            fn = self._get_jitted(kind, causal, need_weights, mask is not None, 128, 128)
-            out, weights = fn(q, k, v, mask)
+            out, weights = run(kind, 128, 128)
             out.block_until_ready()
         latency_ms = (time.perf_counter() - t0) * 1e3
 

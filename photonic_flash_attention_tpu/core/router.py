@@ -57,10 +57,16 @@ class WorkloadCharacteristics:
     num_heads: int
     head_dim: int
     causal: bool = False
-    has_mask: bool = False
+    # "none" | "key" (per-key padding/bias — rides the flash kernel via
+    # kv_lens/k_bias) | "dense" (arbitrary (Sq, Skv) structure — fused only)
+    mask_kind: str = "none"
     need_weights: bool = False
     is_decode: bool = False
     dtype: str = "bfloat16"
+
+    @property
+    def has_mask(self) -> bool:
+        return self.mask_kind != "none"
 
     def bucket(self) -> Tuple:
         """Quantized cache key (reference rounds seq to 32; we use pow2)."""
@@ -75,7 +81,7 @@ class WorkloadCharacteristics:
             self.num_heads,
             self.head_dim,
             self.causal,
-            self.has_mask,
+            self.mask_kind,
             self.need_weights,
             self.is_decode,
             self.dtype,
@@ -151,8 +157,13 @@ class AdaptiveRouter:
         for kind in available:
             if w.need_weights and kind != KernelKind.FUSED:
                 continue  # only the fused path materializes weights
-            if w.has_mask and kind not in (KernelKind.FUSED,):
-                continue  # arbitrary masks currently only on the fused path
+            if w.mask_kind == "dense" and kind != KernelKind.FUSED:
+                continue  # arbitrary (Sq, Skv) masks only on the fused path
+            if w.mask_kind == "key" and kind not in (
+                KernelKind.FUSED,
+                KernelKind.FLASH,
+            ):
+                continue  # key-padding rides flash via kv_lens/k_bias
             if kind == KernelKind.PAGED_DECODE and not w.is_decode:
                 continue
             out.append(kind)

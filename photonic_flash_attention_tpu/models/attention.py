@@ -30,10 +30,30 @@ from ..config import get_config
 from ..core.engine import get_engine
 from ..ops.flash import flash_attention
 from ..ops.fused import fused_attention
+from ..ops.reference import DEFAULT_MASK_VALUE
 
 
 def _is_tracing(x: jax.Array) -> bool:
     return isinstance(x, jax.core.Tracer)
+
+
+def padding_mask_to_lens_bias(
+    keep: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Convert a (B, Skv) boolean keep-mask to the flash kernel's native
+    masked form: per-row valid lengths + per-key additive bias.
+
+    Jit-safe (no value inspection): ``kv_lens`` is the last-valid
+    position + 1 (exact upper bound for dynamic kv-block skipping) and
+    ``k_bias`` carries the exact pattern (0 = attend, mask value =
+    ignore), so non-contiguous padding is handled exactly.
+    """
+    keep = keep.astype(bool)
+    skv = keep.shape[-1]
+    pos = jnp.arange(skv, dtype=jnp.int32)
+    kv_lens = jnp.max(jnp.where(keep, pos + 1, 0), axis=-1).astype(jnp.int32)
+    k_bias = jnp.where(keep, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
+    return kv_lens, k_bias
 
 
 def dispatch_attention(
@@ -46,16 +66,24 @@ def dispatch_attention(
     causal: bool = False,
     need_weights: bool = False,
     sm_scale: Optional[float] = None,
+    kv_lens: Optional[jax.Array] = None,
+    k_bias: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Static threshold dispatch — jit-safe kernel choice.
 
     Mirrors the reference's `_should_use_photonic` threshold rule
     (modules.py:118-143): below ``flash_threshold`` (or when weights, an
-    arbitrary mask, or an additive bias are required) use the fused
-    O(S^2) path, else the Pallas flash kernel. Shapes are static under
-    jit so this resolves at trace time.
+    arbitrary dense mask, or an additive bias are required) use the
+    fused O(S^2) path, else the Pallas flash kernel. Key-padding
+    expressed as ``kv_lens``/``k_bias`` (see
+    :func:`padding_mask_to_lens_bias`) stays ON the flash path — the
+    in-kernel mask support the reference's tiled loop had
+    (flash_attention_3.py:150,165-175). Shapes are static under jit so
+    this resolves at trace time.
     """
     cfg = get_config()
+    if mask is not None and (kv_lens is not None or k_bias is not None):
+        raise ValueError("pass either mask or kv_lens/k_bias, not both")
     seq = max(q.shape[1], k.shape[1])
     tokens = q.shape[0] * seq
     if (
@@ -65,6 +93,14 @@ def dispatch_attention(
         or seq < cfg.flash_threshold
         or tokens < cfg.flash_min_tokens
     ):
+        if mask is None and (kv_lens is not None or k_bias is not None):
+            # Fused path needs a dense mask: rebuild it from the key form.
+            skv = k.shape[1]
+            if k_bias is not None:
+                keep = k_bias >= DEFAULT_MASK_VALUE / 2
+            else:
+                keep = jnp.arange(skv, dtype=jnp.int32)[None] < kv_lens[:, None]
+            mask = keep[:, None, None, :]
         return fused_attention(
             q,
             k,
@@ -75,7 +111,13 @@ def dispatch_attention(
             sm_scale=sm_scale,
             need_weights=need_weights,
         )
-    return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale), None
+    return (
+        flash_attention(
+            q, k, v, causal=causal, sm_scale=sm_scale,
+            kv_lens=kv_lens, k_bias=k_bias,
+        ),
+        None,
+    )
 
 
 class PhotonicFlashAttention(nn.Module):
@@ -134,6 +176,8 @@ class PhotonicFlashAttention(nn.Module):
         *,
         need_weights: bool = False,
         deterministic: bool = True,
+        kv_lens: Optional[jax.Array] = None,
+        k_bias: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         key = query if key is None else key
         value = key if value is None else value
@@ -149,11 +193,13 @@ class PhotonicFlashAttention(nn.Module):
 
         if self.adaptive and not _is_tracing(q):
             out, weights = get_engine()(
-                q, k, v, mask, causal=self.causal, need_weights=need_weights
+                q, k, v, mask, causal=self.causal, need_weights=need_weights,
+                kv_lens=kv_lens, k_bias=k_bias,
             )
         else:
             out, weights = dispatch_attention(
-                q, k, v, mask, causal=self.causal, need_weights=need_weights
+                q, k, v, mask, causal=self.causal, need_weights=need_weights,
+                kv_lens=kv_lens, k_bias=k_bias,
             )
 
         out = out.reshape(b, sq, self.num_heads * head_dim)
@@ -214,6 +260,7 @@ class PhotonicMultiHeadAttention(nn.Module):
         skv = key.shape[1]
 
         mask = None
+        kv_lens = k_bias = None
         if attn_mask is not None:
             mask = attn_mask.astype(bool)
             if mask.ndim == 2:
@@ -222,9 +269,14 @@ class PhotonicMultiHeadAttention(nn.Module):
                 mask = mask[:, None]
         if key_padding_mask is not None:
             # True = padded (ignore), torch convention (modules.py:287-299).
-            keep = jnp.logical_not(key_padding_mask)[:, None, None, :]
-            keep = jnp.broadcast_to(keep, (b, 1, sq, skv))
-            mask = keep if mask is None else jnp.logical_and(mask, keep)
+            keep = jnp.logical_not(key_padding_mask)
+            if mask is None:
+                # Pure key padding stays on the flash fast path as
+                # per-row lengths + per-key bias (in-kernel masking).
+                kv_lens, k_bias = padding_mask_to_lens_bias(keep)
+            else:
+                keep4 = jnp.broadcast_to(keep[:, None, None, :], (b, 1, sq, skv))
+                mask = jnp.logical_and(mask, keep4)
 
         out, weights = self.inner(
             query,
@@ -233,6 +285,8 @@ class PhotonicMultiHeadAttention(nn.Module):
             mask,
             need_weights=need_weights,
             deterministic=deterministic,
+            kv_lens=kv_lens,
+            k_bias=k_bias,
         )
         if weights is not None and average_attn_weights:
             weights = jnp.mean(weights, axis=1)  # head-average (modules.py:318)

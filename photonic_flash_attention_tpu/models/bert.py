@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .attention import PhotonicFlashAttention
+from .attention import PhotonicFlashAttention, padding_mask_to_lens_bias
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,7 +112,10 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        kv_lens: Optional[jax.Array] = None,
+        k_bias: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
         attn_out, _ = PhotonicFlashAttention(
@@ -122,7 +125,7 @@ class BertLayer(nn.Module):
             dtype=cfg.dtype,
             adaptive=False,  # in-model calls are traced; static dispatch
             name="attention",
-        )(x, mask=mask)
+        )(x, kv_lens=kv_lens, k_bias=k_bias)
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="attention_ln"
         )(x + attn_out)
@@ -141,9 +144,12 @@ class _ScanLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, mask: Optional[jax.Array]
+        self,
+        x: jax.Array,
+        kv_lens: Optional[jax.Array],
+        k_bias: Optional[jax.Array],
     ) -> Tuple[jax.Array, None]:
-        return BertLayer(self.config, name="layer")(x, mask), None
+        return BertLayer(self.config, name="layer")(x, kv_lens, k_bias), None
 
 
 class BertModel(nn.Module):
@@ -168,25 +174,29 @@ class BertModel(nn.Module):
         b, s = input_ids.shape
         x = BertEmbeddings(cfg, name="embeddings")(input_ids, token_type_ids)
 
-        mask = None
+        kv_lens = k_bias = None
         if attention_mask is not None:
-            # HF convention: 1 = attend. Broadcast as a key-padding mask.
-            keep = attention_mask.astype(bool)[:, None, None, :]
-            mask = jnp.broadcast_to(keep, (b, 1, s, s))
+            # HF convention: 1 = attend. Key padding rides the flash
+            # kernel natively (per-row lengths + per-key bias) instead of
+            # forcing the O(S^2) dense-mask path — the headline masked
+            # case (padded BERT batches) stays on the fast kernel.
+            kv_lens, k_bias = padding_mask_to_lens_bias(
+                attention_mask.astype(bool)
+            )
 
         if self.scan_layers:
             scanned = nn.scan(
                 _ScanLayer,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast,),
+                in_axes=(nn.broadcast, nn.broadcast),
                 length=cfg.num_hidden_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(cfg, name="encoder")
-            x, _ = scanned(x, mask)
+            x, _ = scanned(x, kv_lens, k_bias)
         else:
             for i in range(cfg.num_hidden_layers):
-                x = BertLayer(cfg, name=f"layer_{i}")(x, mask)
+                x = BertLayer(cfg, name=f"layer_{i}")(x, kv_lens, k_bias)
 
         pooled = None
         if self.add_pooler:

@@ -68,6 +68,8 @@ def _flash_fwd_kernel(
     block_kv: int,
     num_kv_blocks: int,
     tab_ref=None,  # (H, W) SMEM bias table; None = no bias
+    lens_ref=None,  # (B,) SMEM per-sequence valid KV length; None = all valid
+    kbias_ref=None,  # (1, 1, block_kv) VMEM per-key additive bias tile
     rel: Tuple[str, bool, int, int] = _NO_REL,
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
     band_c: Optional[int] = None,  # banded grid: ki = (qi*bq + band_c)//bkv + kb
@@ -75,6 +77,7 @@ def _flash_fwd_kernel(
 ):
     qi = pl.program_id(2)
     kb = pl.program_id(3)
+    bb = pl.program_id(0)
     if kv_blocks_total is None:
         kv_blocks_total = num_kv_blocks
     if band_c is not None:
@@ -126,6 +129,13 @@ def _flash_fwd_kernel(
             should_run = jnp.logical_and(
                 should_run, jnp.logical_not(inside_only)
             )
+
+    # Per-sequence valid KV lengths (key-padding made kernel-native): any
+    # kv block fully past this row's length is skipped DYNAMICALLY — a
+    # padded batch pays compute for its real tokens only, not the bucket.
+    if lens_ref is not None:
+        len_b = lens_ref[bb]
+        should_run = jnp.logical_and(should_run, ki * block_kv < len_b)
 
     # The last kv block carries padded columns only when padding exists
     # (static): interior tiles then skip mask work entirely.
@@ -199,6 +209,13 @@ def _flash_fwd_kernel(
                     bias = bias + jnp.where(bucket == b_, tab_ref[hh, b_], 0.0)
                 s = s + bias
 
+        if kbias_ref is not None:
+            # Per-key additive bias (the in-kernel form of an arbitrary
+            # key-padding mask: 0 = attend, DEFAULT_MASK_VALUE = ignore;
+            # also carries real per-key biases). (1, block_kv) broadcast
+            # over q rows is a cheap sublane-broadcast.
+            s = s + kbias_ref[0]
+
         def apply_mask(s):
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -211,6 +228,9 @@ def _flash_fwd_kernel(
 
             def _and(a, b):
                 return b if a is None else jnp.logical_and(a, b)
+
+            if lens_ref is not None:
+                valid = _and(valid, col < len_b)
 
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
@@ -241,11 +261,12 @@ def _flash_fwd_kernel(
             return jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         # Mask when any tile could need it: padded last-kv tiles, causal
-        # tiles, rel-window bands. (A per-tile lax.cond to skip interior
-        # tiles measures SLOWER on v5e — the scalar-core branch stalls the
-        # Mosaic pipeline — so masking is unconditional when enabled; only
-        # the fully-static no-pad non-causal unwindowed case elides it.)
-        if has_kv_pad or causal or window is not None:
+        # tiles, rel-window bands, per-row lengths. (A per-tile lax.cond to
+        # skip interior tiles measures SLOWER on v5e — the scalar-core
+        # branch stalls the Mosaic pipeline — so masking is unconditional
+        # when enabled; only the fully-static no-pad non-causal unwindowed
+        # case elides it.)
+        if has_kv_pad or causal or window is not None or lens_ref is not None:
             s = apply_mask(s)
 
         # Running stats live lane-REPLICATED at (block_q, 128): combining a
@@ -307,6 +328,8 @@ def _flash_fwd(
     save_residuals: bool,
     group: int = 1,
     tab: Optional[jax.Array] = None,  # (H, W) fp32 rel-bias table
+    kv_lens: Optional[jax.Array] = None,  # (B,) int32 valid KV lengths
+    k_bias: Optional[jax.Array] = None,  # (B, 1, Skv) fp32 per-key bias
     rel: Tuple[str, bool, int, int] = _NO_REL,
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
     banded_grid: bool = False,
@@ -358,11 +381,26 @@ def _flash_fwd(
             )
 
     has_tab = tab is not None
-    if has_tab:
+    has_lens = kv_lens is not None
+    has_kbias = k_bias is not None
+    if has_tab or has_lens or has_kbias:
+        # Peel the optional inputs (ordered tab, lens, kbias after q/k/v)
+        # off the positional argument list into keywords.
         inner = kernel_fn
 
-        def kernel_fn(q_ref, k_ref, v_ref, tab_ref, *rest, **kw):
-            return inner(q_ref, k_ref, v_ref, *rest, tab_ref=tab_ref, **kw)
+        def kernel_fn(q_ref, k_ref, v_ref, *rest, **kw):
+            idx = 0
+            opt = {}
+            if has_tab:
+                opt["tab_ref"] = rest[idx]
+                idx += 1
+            if has_lens:
+                opt["lens_ref"] = rest[idx]
+                idx += 1
+            if has_kbias:
+                opt["kbias_ref"] = rest[idx]
+                idx += 1
+            return inner(q_ref, k_ref, v_ref, *rest[idx:], **opt, **kw)
 
     kernel = functools.partial(
         kernel_fn,
@@ -425,6 +463,20 @@ def _flash_fwd(
         # is rebuilt from iota + this table (no HBM bias tensor).
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(tab)
+    if has_lens:
+        # Whole (B,) length vector in scalar memory; indexed by batch id.
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(kv_lens)
+    if has_kbias:
+        # Per-key bias rides the same kv-tile stream as K/V (with the
+        # causal skip-redirect): (1, 1, block_kv) fp32 tiles of (B,1,Skv).
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda b_, h_, qi, ki: (b_, 0, kv_block_index(qi, ki)),
+            )
+        )
+        inputs.append(k_bias)
 
     outs = pl.pallas_call(
         kernel,
@@ -478,7 +530,11 @@ def _flash_bwd(
     tab: Optional[jax.Array] = None,  # (H, W) fp32 rel-bias table
     rel: Tuple[str, bool, int, int] = _NO_REL,
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
+    kv_lens: Optional[jax.Array] = None,  # (B,) int32 valid KV lengths
+    k_bias: Optional[jax.Array] = None,  # (B, Skv padded) fp32 per-key bias
+) -> Tuple[
+    jax.Array, jax.Array, jax.Array, Optional[jax.Array], Optional[jax.Array]
+]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
     num_blocks = skv // block_kv
@@ -498,9 +554,18 @@ def _flash_bwd(
 
     row = jax.lax.broadcasted_iota(jnp.int32, (sq, block_kv), 0) + kv_off
 
+    if k_bias is not None:
+        kb_blocks = (
+            k_bias.astype(jnp.float32)
+            .reshape(b, num_blocks, block_kv)
+            .transpose(1, 0, 2)
+        )  # (num_blocks, B, block_kv)
+    else:
+        kb_blocks = jnp.zeros((num_blocks, 1, 1), jnp.float32)
+
     def body(carry, inputs):
         dq_acc, dtab_acc = carry
-        blk_idx, k_blk, v_blk = inputs
+        blk_idx, k_blk, v_blk, kb_blk = inputs
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk) * sm_scale
         col = (
             jax.lax.broadcasted_iota(jnp.int32, (sq, block_kv), 1) + blk_idx * block_kv
@@ -516,6 +581,8 @@ def _flash_bwd(
                 max_distance=rel_maxd,
             )  # (H, sq, block_kv)
             s = s + bias[None]
+        if k_bias is not None:
+            s = s + kb_blk[:, None, None, :]  # (B,1,1,block_kv)
         valid = col < kv_true_len
         if causal:
             valid = jnp.logical_and(valid, col <= row)
@@ -526,8 +593,13 @@ def _flash_bwd(
                 valid = jnp.logical_and(valid, rel_blk >= lo_)
             if hi_ is not None:
                 valid = jnp.logical_and(valid, rel_blk <= hi_)
+        valid = valid[None, None]  # (1,1,sq,block_kv)
+        if kv_lens is not None:
+            valid = jnp.logical_and(
+                valid, col[None, None] < kv_lens[:, None, None, None]
+            )  # (B,1,sq,block_kv)
         # p from saved lse: rows fully masked have lse=-inf -> p=0 via where.
-        p = jnp.where(valid[None, None], jnp.exp(s - lse_e), 0.0)
+        p = jnp.where(valid, jnp.exp(s - lse_e), 0.0)
         dv_blk = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
         dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_blk)
         dsb = p * (dp - di)  # grad wrt (scores + bias), unscaled
@@ -552,20 +624,27 @@ def _flash_bwd(
         ds = dsb * sm_scale
         dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_blk)
         dk_blk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
-        return (dq_acc, dtab_acc), (dk_blk, dv_blk)
+        dkb_blk = jnp.sum(dsb, axis=(1, 2))  # (B, block_kv) per-key bias grad
+        return (dq_acc, dtab_acc), (dk_blk, dv_blk, dkb_blk)
 
     blk_ids = jnp.arange(num_blocks, dtype=jnp.int32)
     dtab0 = jnp.zeros(tab.shape, jnp.float32) if tab is not None else jnp.zeros((h, 1))
-    (dq, dtab), (dk_blocks, dv_blocks) = jax.lax.scan(
-        body, (jnp.zeros_like(qf), dtab0), (blk_ids, kb, vb)
+    (dq, dtab), (dk_blocks, dv_blocks, dkb_blocks) = jax.lax.scan(
+        body, (jnp.zeros_like(qf), dtab0), (blk_ids, kb, vb, kb_blocks)
     )
     dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, skv, d)
     dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, skv, d)
+    dkbias = (
+        dkb_blocks.transpose(1, 0, 2).reshape(b, skv)
+        if k_bias is not None
+        else None
+    )
     return (
         dq.astype(q.dtype),
         dk.astype(k.dtype),
         dv.astype(v.dtype),
         dtab if rel_kind != "none" else None,
+        dkbias,
     )
 
 
@@ -641,6 +720,7 @@ def _pad_head_dim(d: int) -> int:
 def _flash_core_fwd_impl(
     q, k, v, sm_scale, causal, block_q, block_kv, interpret, save_residuals=True,
     tab=None, rel=_NO_REL, window=None, banded_grid=False,
+    kv_lens=None, k_bias=None,
 ):
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -652,6 +732,13 @@ def _flash_core_fwd_impl(
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
+    if k_bias is not None:
+        # (B, Skv) -> (B, 1, Skv_p); padded cols are masked by the static
+        # kv-pad predicate (or the per-row lens), so zero-pad is exact.
+        kb = jnp.pad(k_bias.astype(jnp.float32), ((0, 0), (0, skv_p - skv)))
+        k_bias = kb[:, None, :]
+    if kv_lens is not None:
+        kv_lens = kv_lens.astype(jnp.int32)
     o, lse = _flash_fwd(
         qp,
         kp,
@@ -666,6 +753,8 @@ def _flash_core_fwd_impl(
         save_residuals=save_residuals,
         group=h // hkv,
         tab=tab,
+        kv_lens=kv_lens,
+        k_bias=k_bias,
         rel=rel,
         window=window,
         banded_grid=banded_grid,
@@ -770,7 +859,7 @@ def _flash_core_bwd(sm_scale, causal, block_q, block_kv, interpret, window, resi
         skv_p = round_up(skv, block_kv)
         kp = jnp.pad(k_in, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
         vp = jnp.pad(v_in, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
-        dq, dk, dv, _ = _flash_bwd(
+        dq, dk, dv, _, _ = _flash_bwd(
             q,
             kp,
             vp,
@@ -802,6 +891,88 @@ def _use_pallas_bwd() -> bool:
 
 
 _flash_attention_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# --- masked variant: per-row KV lengths + per-key additive bias ----------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention_core_masked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_lens: jax.Array,  # (B,) int32
+    k_bias: jax.Array,  # (B, Skv) fp32
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+) -> jax.Array:
+    o, _ = _flash_core_fwd_impl(
+        q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+        save_residuals=False, kv_lens=kv_lens, k_bias=k_bias,
+    )
+    return o
+
+
+def _flash_core_masked_fwd(
+    q, k, v, kv_lens, k_bias, sm_scale, causal, block_q, block_kv, interpret
+):
+    o, lse = _flash_core_fwd_impl(
+        q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+        save_residuals=True, kv_lens=kv_lens, k_bias=k_bias,
+    )
+    return o, (q, k, v, kv_lens, k_bias, o, lse)
+
+
+def _flash_core_masked_bwd(
+    sm_scale, causal, block_q, block_kv, interpret, residuals, do
+):
+    q, k, v, kv_lens, k_bias, o, lse = residuals
+    b, h, _, d = q.shape
+    hkv = k.shape[1]
+    group = h // hkv
+    skv = k.shape[2]
+    skv_p = round_up(skv, block_kv)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    kbp = jnp.pad(k_bias.astype(jnp.float32), ((0, 0), (0, skv_p - skv)))
+    if group > 1:
+        kp = jnp.repeat(kp, group, axis=1)
+        vp = jnp.repeat(vp, group, axis=1)
+    dq, dk, dv, _, dkbias = _flash_bwd(
+        q,
+        kp,
+        vp,
+        o,
+        lse,
+        do,
+        sm_scale=sm_scale,
+        causal=causal,
+        q_true_len=q.shape[2],
+        kv_true_len=skv,
+        block_kv=block_kv,
+        kv_lens=kv_lens,
+        k_bias=kbp,
+    )
+    dk = dk[:, :, :skv]
+    dv = dv[:, :, :skv]
+    if group > 1:
+        dk = dk.reshape(b, hkv, group, skv, d).sum(2)
+        dv = dv.reshape(b, hkv, group, skv, d).sum(2)
+    # Integer lengths are non-differentiable: float0 zero tangent.
+    dlens = jnp.zeros(kv_lens.shape, dtype=jax.dtypes.float0)
+    return (
+        dq,
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        dlens,
+        dkbias[:, :skv].astype(k_bias.dtype),
+    )
+
+
+_flash_attention_core_masked.defvjp(_flash_core_masked_fwd, _flash_core_masked_bwd)
 
 
 # --- rel-bias variant: the (H, W) table is a 4th differentiable input ----
@@ -857,7 +1028,7 @@ def _flash_core_rel_bwd(rel, sm_scale, causal, block_q, block_kv, interpret, res
     if group > 1:
         kp = jnp.repeat(kp, group, axis=1)
         vp = jnp.repeat(vp, group, axis=1)
-    dq, dk, dv, dtab = _flash_bwd(
+    dq, dk, dv, dtab, _ = _flash_bwd(
         q,
         kp,
         vp,
@@ -895,6 +1066,8 @@ def flash_attention(
     interpret: Optional[bool] = None,
     rel_bias: Optional[RelBias] = None,
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
+    kv_lens: Optional[jax.Array] = None,
+    k_bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention on TPU via Pallas.
 
@@ -905,6 +1078,18 @@ def flash_attention(
       block_q / block_kv: kernel tile sizes (multiples of 128); autotuned
         defaults otherwise.
       interpret: force Pallas interpreter mode (auto on non-TPU backends).
+      kv_lens: optional (B,) int32 per-sequence valid KV length —
+        key-padding made kernel-native (the in-kernel form of the
+        reference's attention_mask, reference flash_attention_3.py:150,
+        165-175). KV blocks past a row's length are skipped dynamically,
+        so a padded batch pays for its real tokens only. Differentiable
+        in q/k/v.
+      k_bias: optional (B, Skv) fp32 additive per-key score bias,
+        broadcast over heads and query rows (0 = attend; use
+        DEFAULT_MASK_VALUE entries for arbitrary — including
+        non-contiguous — key-padding patterns). Differentiable, incl.
+        w.r.t. the bias itself. May combine with kv_lens (lens as the
+        tile-skip upper bound, bias as the exact pattern).
       rel_bias: optional structured relative-position bias
         (``T5RelBias`` or ``ALiBi``, see ops/rel_bias.py) computed
         in-kernel from iota — no dense (H, Sq, Skv) bias tensor exists
@@ -940,6 +1125,31 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
+    if kv_lens is not None or k_bias is not None:
+        if rel_bias is not None or window is not None:
+            raise ValueError(
+                "kv_lens/k_bias cannot be combined with rel_bias or window"
+            )
+        if kv_lens is not None and kv_lens.shape != (b,):
+            raise ValueError(f"kv_lens must be shape ({b},), got {kv_lens.shape}")
+        if k_bias is not None and k_bias.shape != (b, skv):
+            raise ValueError(
+                f"k_bias must be shape ({b}, {skv}), got {k_bias.shape}"
+            )
+        lens = (
+            kv_lens.astype(jnp.int32)
+            if kv_lens is not None
+            else jnp.full((b,), skv, jnp.int32)
+        )
+        kbias = (
+            k_bias.astype(jnp.float32)
+            if k_bias is not None
+            else jnp.zeros((b, skv), jnp.float32)
+        )
+        o = _flash_attention_core_masked(
+            qt, kt, vt, lens, kbias, scale, causal, bq, bkv, interp
+        )
+        return o.transpose(0, 2, 1, 3)
     win3 = None
     if window is not None:
         if rel_bias is not None:

@@ -123,6 +123,94 @@ class TestFlashKernel:
             flash_attention(q, q, q, block_q=96, block_kv=128)
 
 
+class TestFlashMasked:
+    """In-kernel key-padding masks (reference applies attention_mask in
+    its tile loop, flash_attention_3.py:150,165-175 — here per-row
+    lengths + per-key bias keep masked calls on the flash kernel)."""
+
+    def _setup(self, rng, b=3, s=384, h=4, d=64):
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        return q, k, v
+
+    def test_kv_lens_matches_masked_oracle(self, rng):
+        q, k, v = self._setup(rng)
+        lens = jnp.asarray([384, 200, 77], jnp.int32)
+        keep = (jnp.arange(384)[None] < lens[:, None])[:, None, None, :]
+        ref, _ = attention_reference(q, k, v, keep)
+        out = flash_attention(q, k, v, kv_lens=lens, block_q=128, block_kv=128)
+        assert_close(out, ref)
+
+    def test_kv_lens_causal(self, rng):
+        q, k, v = self._setup(rng)
+        lens = jnp.asarray([300, 384, 129], jnp.int32)
+        keep = (jnp.arange(384)[None] < lens[:, None])[:, None, None, :]
+        ref, _ = attention_reference(q, k, v, keep, causal=True)
+        out = flash_attention(
+            q, k, v, kv_lens=lens, causal=True, block_q=128, block_kv=128
+        )
+        assert_close(out, ref)
+
+    def test_k_bias_arbitrary_pattern(self, rng):
+        """Non-contiguous key masks are exact via the additive bias."""
+        from photonic_flash_attention_tpu.ops.reference import (
+            DEFAULT_MASK_VALUE,
+        )
+
+        q, k, v = self._setup(rng)
+        km = rng.random((3, 384)) > 0.3
+        km[:, 0] = True  # no fully-masked rows (softmax degenerate)
+        kb = jnp.where(jnp.asarray(km), 0.0, DEFAULT_MASK_VALUE).astype(
+            jnp.float32
+        )
+        ref, _ = attention_reference(
+            q, k, v, jnp.asarray(km)[:, None, None, :]
+        )
+        out = flash_attention(q, k, v, k_bias=kb, block_q=128, block_kv=128)
+        assert_close(out, ref)
+
+    def test_masked_gradients_match_oracle(self, rng):
+        q, k, v = self._setup(rng, s=256)
+        lens = jnp.asarray([256, 100, 31], jnp.int32)
+        keep = (jnp.arange(256)[None] < lens[:, None])[:, None, None, :]
+
+        def loss_flash(q, k, v):
+            o = flash_attention(
+                q, k, v, kv_lens=lens, block_q=128, block_kv=128
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(q, k, v):
+            o, _ = attention_reference(q, k, v, keep)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            assert_close(a, b, atol=2e-5, rtol=2e-5)
+
+    def test_k_bias_differentiable(self, rng):
+        """Real (non-mask) per-key biases get an exact bias gradient."""
+        q, k, v = self._setup(rng, s=256)
+        kb = jnp.asarray(rng.standard_normal((3, 256)), jnp.float32)
+
+        def loss_flash(kb):
+            o = flash_attention(q, k, v, k_bias=kb, block_q=128, block_kv=128)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(kb):
+            o, _ = attention_reference(
+                q, k, v, bias=kb[:, None, None, :]
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        assert_close(
+            jax.grad(loss_flash)(kb), jax.grad(loss_ref)(kb),
+            atol=2e-4, rtol=2e-4,
+        )
+
+
 class TestFlashGradients:
     def test_grads_match_oracle(self, rng):
         q = jnp.asarray(rng.standard_normal((1, 128, 2, 64)), jnp.float32)
