@@ -206,64 +206,6 @@ def convert_to_photonic(
 
 def _load_gpt2_from_loaded(hf_model: Any, dtype) -> Tuple[Any, Dict, Any]:
     """Weight transfer from an already-loaded HF GPT-2 (no re-download)."""
-    import jax
-    import numpy as np
+    from .gpt2 import transfer_hf_gpt2
 
-    from .gpt2 import GPT2Config, GPT2LMHead
-
-    sd = {k: np.asarray(v.detach()) for k, v in hf_model.state_dict().items()}
-    # LMHead checkpoints prefix with 'transformer.', bare GPT2Model doesn't.
-    if not any(k.startswith("transformer.") for k in sd):
-        sd = {f"transformer.{k}": v for k, v in sd.items()}
-    hf_cfg = hf_model.config
-    cfg = GPT2Config(
-        vocab_size=hf_cfg.vocab_size,
-        n_positions=hf_cfg.n_positions,
-        n_embd=hf_cfg.n_embd,
-        n_layer=hf_cfg.n_layer,
-        n_head=hf_cfg.n_head,
-        dtype=dtype,
-    )
-    params: Dict[str, Any] = {
-        "wte": sd["transformer.wte.weight"],
-        "wpe": sd["transformer.wpe.weight"],
-        "ln_f": {
-            "scale": sd["transformer.ln_f.weight"],
-            "bias": sd["transformer.ln_f.bias"],
-        },
-    }
-    layers = []
-    for i in range(cfg.n_layer):
-        p = f"transformer.h.{i}."
-        qw, kw, vw = np.split(sd[p + "attn.c_attn.weight"], 3, axis=1)
-        qb, kb, vb = np.split(sd[p + "attn.c_attn.bias"], 3, axis=0)
-        layers.append(
-            {
-                "ln_1": {"scale": sd[p + "ln_1.weight"], "bias": sd[p + "ln_1.bias"]},
-                "ln_2": {"scale": sd[p + "ln_2.weight"], "bias": sd[p + "ln_2.bias"]},
-                "attn": {
-                    "q_proj": {"kernel": qw, "bias": qb},
-                    "k_proj": {"kernel": kw, "bias": kb},
-                    "v_proj": {"kernel": vw, "bias": vb},
-                    "out_proj": {
-                        "kernel": sd[p + "attn.c_proj.weight"],
-                        "bias": sd[p + "attn.c_proj.bias"],
-                    },
-                },
-                "mlp": {
-                    "c_fc": {
-                        "kernel": sd[p + "mlp.c_fc.weight"],
-                        "bias": sd[p + "mlp.c_fc.bias"],
-                    },
-                    "c_proj": {
-                        "kernel": sd[p + "mlp.c_proj.weight"],
-                        "bias": sd[p + "mlp.c_proj.bias"],
-                    },
-                },
-            }
-        )
-    params["h"] = {
-        "block": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers)
-    }
-    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), params)
-    return GPT2LMHead(cfg), {"params": params}, cfg
+    return transfer_hf_gpt2(hf_model, dtype)

@@ -203,18 +203,28 @@ def param_sharding_rules(params: Dict, mesh_axes: Tuple[str, str] = ("data", "mo
 
 
 def load_hf_gpt2(model_name: str = "gpt2", dtype=jnp.bfloat16):
-    """Load HF GPT-2 weights into this implementation.
+    """Load HF GPT-2 weights into this implementation (downloads weights)."""
+    from transformers import GPT2LMHeadModel
+
+    return transfer_hf_gpt2(GPT2LMHeadModel.from_pretrained(model_name), dtype)
+
+
+def transfer_hf_gpt2(hf, dtype=jnp.bfloat16):
+    """Transfer weights from an already-constructed HF GPT-2 (no network).
 
     Handles the fused ``c_attn`` QKV split the reference handles in
     ``_transfer_weights`` (convert.py:399-430): HF GPT-2 uses Conv1D
     ((in, out) kernels, no transpose needed for flax Dense) with QKV
-    concatenated on the output axis.
+    concatenated on the output axis. Accepts ``GPT2LMHeadModel`` or bare
+    ``GPT2Model`` (state-dict keys are normalized to the ``transformer.``
+    prefix).
     """
     import numpy as np
-    from transformers import GPT2LMHeadModel
 
-    hf = GPT2LMHeadModel.from_pretrained(model_name)
-    sd = {k: np.asarray(v) for k, v in hf.state_dict().items()}
+    sd = {k: np.asarray(v.detach()) for k, v in hf.state_dict().items()}
+    # LMHead checkpoints prefix with 'transformer.', bare GPT2Model doesn't.
+    if not any(k.startswith("transformer.") for k in sd):
+        sd = {f"transformer.{k}": v for k, v in sd.items()}
     hf_cfg = hf.config
     cfg = GPT2Config(
         vocab_size=hf_cfg.vocab_size,

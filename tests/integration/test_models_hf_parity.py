@@ -256,6 +256,89 @@ class TestConvertFamilies:
         assert report.conversion_rate == 1.0
 
 
+def _gpt2_pair():
+    from transformers import GPT2Config as HFGPT2Config
+    from transformers import GPT2LMHeadModel as HFGPT2
+
+    from photonic_flash_attention_tpu.models.gpt2 import transfer_hf_gpt2
+
+    torch.manual_seed(0)
+    hf = HFGPT2(
+        HFGPT2Config(
+            vocab_size=128,
+            n_positions=64,
+            n_embd=64,
+            n_layer=2,
+            n_head=4,
+            attn_pdrop=0.0,
+            resid_pdrop=0.0,
+            embd_pdrop=0.0,
+        )
+    ).eval()
+    model, variables, cfg = transfer_hf_gpt2(hf, dtype=jnp.float32)
+    return hf, model, variables, cfg
+
+
+class TestGPT2Parity:
+    """Offline parity for the flagship E2E family (BASELINE GPT-2-medium).
+
+    Exercises the fused c_attn QKV split (reference convert.py:399-430)
+    against the HF torch forward with random weights — no network.
+    """
+
+    def test_logits_match_hf(self, rng):
+        hf, model, variables, cfg = _gpt2_pair()
+        ids = rng.integers(0, 128, (2, 24))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits.numpy()
+        out = model.apply(variables, jnp.asarray(ids, jnp.int32))
+        assert rel_err_norm(out, ref) < 1e-4
+
+    def test_causality(self, rng):
+        _, model, variables, cfg = _gpt2_pair()
+        a = rng.integers(0, 128, (1, 16))
+        b = a.copy()
+        b[:, 12:] = (b[:, 12:] + 1) % 128
+        out_a = model.apply(variables, jnp.asarray(a, jnp.int32))
+        out_b = model.apply(variables, jnp.asarray(b, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(out_a[:, :12]), np.asarray(out_b[:, :12]), atol=1e-5
+        )
+
+    def test_convert_family(self, rng):
+        from photonic_flash_attention_tpu.models.convert import (
+            PhotonicConfig,
+            convert_to_photonic,
+        )
+
+        hf, _, _, _ = _gpt2_pair()
+        model, variables, report = convert_to_photonic(
+            hf, PhotonicConfig(dtype=jnp.float32)
+        )
+        assert report.model_family == "gpt2"
+        ids = rng.integers(0, 128, (1, 16))
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).logits.numpy()
+        out = model.apply(variables, jnp.asarray(ids, jnp.int32))
+        assert rel_err_norm(out, ref) < 1e-4
+
+    def test_bare_gpt2model_prefix_normalization(self):
+        """transfer accepts a bare GPT2Model (no 'transformer.' prefix)."""
+        from transformers import GPT2Config as HFGPT2Config
+        from transformers import GPT2Model as HFGPT2Model
+
+        from photonic_flash_attention_tpu.models.gpt2 import transfer_hf_gpt2
+
+        torch.manual_seed(0)
+        hf = HFGPT2Model(
+            HFGPT2Config(
+                vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4
+            )
+        ).eval()
+        model, variables, cfg = transfer_hf_gpt2(hf, dtype=jnp.float32)
+        assert cfg.n_layer == 2
+
+
 def _llama_pair():
     from transformers import LlamaConfig as HFLlamaConfig
     from transformers import LlamaForCausalLM as HFLlama
