@@ -57,6 +57,11 @@ class AxisStats:
     by_op: Dict[str, int] = dataclasses.field(default_factory=lambda: defaultdict(int))
     window_start: float = dataclasses.field(default_factory=time.time)
     window_bytes: int = 0
+    # Analytic minimum seconds of link busy time for the window's traffic
+    # (bytes / full ICI bandwidth). The honest denominator-free quantity:
+    # wall-clock of the *recording* loop says nothing about transfer
+    # duration (records happen host-side, often at trace time).
+    window_busy_s: float = 0.0
 
 
 class CollectiveTelemetry:
@@ -85,7 +90,9 @@ class CollectiveTelemetry:
             if now - st.window_start > self.WINDOW_S:
                 st.window_start = now
                 st.window_bytes = 0
+                st.window_busy_s = 0.0
             st.window_bytes += moved
+            st.window_busy_s += moved / (self.ici_gbps * 1e9)
             if self.utilization(axis) >= CONGESTION_THRESHOLD:
                 self._congestion_events += 1
                 # Rate-limit to one log line per window per axis — a hot
@@ -94,17 +101,29 @@ class CollectiveTelemetry:
                 if now - self._last_congestion_log.get(axis, 0.0) > self.WINDOW_S:
                     self._last_congestion_log[axis] = now
                     logger.warning(
-                        "axis %s congested (%.0f%% of ICI)", axis,
+                        "axis %s congested (analytic estimate: recorded "
+                        "traffic needs %.0f%% of ICI link time this window)",
+                        axis,
                         100 * self.utilization(axis),
                     )
 
     def utilization(self, axis: str) -> float:
-        """Windowed bytes vs ICI capacity (reference link utilization)."""
+        """Analytic link busy fraction over the current window, in [0, 1].
+
+        ``window_busy_s`` is the minimum time the window's recorded bytes
+        would occupy the link at full ICI bandwidth; the denominator is
+        the window wall-clock, floored by the busy time itself (a link
+        cannot be busy for longer than the elapsed time it was busy).
+        This is an *analytic estimate* — XLA exposes no per-collective
+        timing — so it is a lower bound on pressure, never >100%.
+        (Replaces the round-2 formula that divided burst bytes by the
+        recording loop's wall-clock and reported 131x "utilization".)
+        """
         st = self._axes.get(axis)
         if st is None:
             return 0.0
         elapsed = max(time.time() - st.window_start, 1e-3)
-        return (st.window_bytes / elapsed) / (self.ici_gbps * 1e9)
+        return st.window_busy_s / max(elapsed, st.window_busy_s)
 
     def record_array(self, axis: str, op: str, x, axis_size: int) -> None:
         nbytes = int(np.prod(x.shape)) * jax.numpy.dtype(x.dtype).itemsize
@@ -115,6 +134,10 @@ class CollectiveTelemetry:
             return {
                 "ici_gbps": self.ici_gbps,
                 "congestion_events": self._congestion_events,
+                "utilization_note": (
+                    "analytic lower-bound busy fraction (bytes / ICI "
+                    "bandwidth vs window wall-clock), capped at 1.0"
+                ),
                 "axes": {
                     name: {
                         "bytes_total": st.bytes_total,

@@ -51,6 +51,14 @@ class TestTelemetry:
         assert t.get_stats()["congestion_events"] >= 1
         assert t.utilization("seq") >= CONGESTION_THRESHOLD
 
+    def test_utilization_capped_at_one(self):
+        """Analytic busy fraction never exceeds 100% (round-2 bug: 131x)."""
+        t = CollectiveTelemetry(ici_gbps=1e-6)
+        for _ in range(50):
+            t.record("seq", "all_gather", 100 << 20, 8)
+        assert 0.0 <= t.utilization("seq") <= 1.0
+        assert t.get_stats()["axes"]["seq"]["utilization"] <= 1.0
+
     def test_ring_attention_records(self, rng):
         from photonic_flash_attention_tpu.parallel.ring import make_ring_attention
         from photonic_flash_attention_tpu.parallel.telemetry import get_telemetry
