@@ -41,6 +41,13 @@ class GlobalConfig:
     #: enable the adaptive (measured-latency) router; when False the static
     #: threshold dispatch above is used.
     auto_kernel_selection: bool = True
+    #: self-driving block tuning: the first adaptive-routing encounter of
+    #: a flash workload bucket measures up to 3 block-size candidates
+    #: (scan-chained fits, core/timing.py) and persists the winner —
+    #: production traffic no longer needs an explicit engine.autotune()
+    #: call (the in-band version of the reference's background
+    #: re-optimizer, autonomous_optimizer.py:167-191).
+    auto_block_tuning: bool = True
 
     # --- quantization (reference: 6-bit modulator, matrix_mult.py:36) ---
     #: default quantization mode for attention activations:
@@ -104,6 +111,7 @@ _ENV_OVERRIDES: Tuple[Tuple[str, str, Any], ...] = (
     ("PFA_LOG_LEVEL", "log_level", str),
     ("PFA_ENABLE_PROFILING", "enable_profiling", lambda v: v.lower() in ("1", "true", "yes")),
     ("PFA_AUTO_KERNEL_SELECTION", "auto_kernel_selection", lambda v: v.lower() in ("1", "true", "yes")),
+    ("PFA_AUTO_BLOCK_TUNING", "auto_block_tuning", lambda v: v.lower() in ("1", "true", "yes")),
 )
 
 _config_lock = threading.Lock()
