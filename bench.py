@@ -43,9 +43,12 @@ import numpy as np
 ITERS_LO, ITERS_HI = 20, 120
 
 # v5e per-chip model ceilings at D=64 (half the 128-wide MXU contraction):
-# bf16 peak 197 TFLOP/s -> 98.5; int8 peak 394 TOPS -> 197.
+# bf16 peak 197 TFLOP/s -> 98.5; int8 peak 394 TOPS -> 197. int8-QK runs
+# only the score matmul at the int8 rate (PV stays bf16): harmonic blend
+# 2/(1/197 + 1/98.5) = 131.3.
 CEIL_BF16_D64 = 98.5e12
 CEIL_INT8_D64 = 197.0e12
+CEIL_INT8QK_D64 = 131.3e12
 
 
 def _timed(fn, q, k, v, iters, repeats=3):
@@ -134,6 +137,7 @@ def _decode_row():
 def main() -> None:
     from photonic_flash_attention_tpu.ops.flash import flash_attention
     from photonic_flash_attention_tpu.ops.flash_fp8 import (
+        flash_attention_int8qk,
         flash_attention_quant,
     )
     from photonic_flash_attention_tpu.ops.reference import attention_reference
@@ -195,6 +199,22 @@ def main() -> None:
             (1, 8192),
         ),
         (
+            "flash_int8qk_causal_b4_s2048",
+            lambda q, k, v: flash_attention_int8qk(
+                q, k, v, causal=True, block_q=bq, block_kv=bkv
+            ),
+            "int8qk",
+            (B, S),
+        ),
+        (
+            "flash_int8qk_causal_b1_s8192",
+            lambda q, k, v: flash_attention_int8qk(
+                q, k, v, causal=True, block_q=bq, block_kv=bkv
+            ),
+            "int8qk",
+            (1, 8192),
+        ),
+        (
             "flash_int8_causal_b4_s2048",
             lambda q, k, v: flash_attention_quant(
                 q, k, v, qdtype="int8", causal=True, block_q=bq, block_kv=bkv
@@ -222,7 +242,10 @@ def main() -> None:
                 args = (q, k, v)
             t = _bench(fn, *args)
             fl = 4 * b_ * H * s_ * s_ * D * 0.5
-            ceil = CEIL_INT8_D64 if dtype == "int8" else CEIL_BF16_D64
+            ceil = {
+                "int8": CEIL_INT8_D64,
+                "int8qk": CEIL_INT8QK_D64,
+            }.get(dtype, CEIL_BF16_D64)
             rows.append(
                 {
                     "name": name,

@@ -43,6 +43,7 @@ class KernelKind(str, enum.Enum):
     FUSED = "fused"  # XLA-fused O(S^2), short sequences
     FLASH = "flash"  # Pallas tiled online-softmax, bf16
     FLASH_FP8 = "flash_fp8"  # Pallas flash with fp8 block-quantized QK/PV
+    FLASH_INT8QK = "flash_int8qk"  # int8 score matmul, bf16 P.V (fastest)
     PAGED_DECODE = "paged_decode"  # paged KV-cache decode kernel
     RING = "ring"  # sequence-parallel ring attention
 
@@ -193,7 +194,11 @@ class AdaptiveRouter:
         if max(w.q_len, w.kv_len) >= cfg.ring_threshold and KernelKind.RING in eligible:
             return KernelKind.RING
         if max(w.q_len, w.kv_len) >= cfg.flash_threshold:
-            for kind in (KernelKind.FLASH_FP8, KernelKind.FLASH):
+            for kind in (
+                KernelKind.FLASH_INT8QK,
+                KernelKind.FLASH_FP8,
+                KernelKind.FLASH,
+            ):
                 if kind in eligible:
                     return kind
         if KernelKind.FUSED in eligible:

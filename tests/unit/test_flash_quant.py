@@ -66,3 +66,51 @@ class TestQuantFlash:
         ref, _ = attention_reference(q, k, v)
         out = flash_attention_quant(q, k, v, qdtype=qdtype, block_q=128, block_kv=128)
         assert rel_err_norm(out, ref) < (0.03 if qdtype == "int8" else 0.06)
+
+
+def make_qkv(rng, b=2, s=256, h=4, d=64):
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    return q, k, v
+
+
+class TestInt8QK:
+    """INT8-QK flash: per-tensor-quantized score matmul, bf16 P.V — the
+    fastest measured prefill path on v5e (83 TFLOP/s non-causal S=8192,
+    85% of the D=64 ceiling; beats bf16 by ~10% causal)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_oracle_within_gate(self, rng, causal):
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_int8qk,
+        )
+
+        q, k, v = make_qkv(rng, s=384)
+        o = flash_attention_int8qk(
+            q, k, v, causal=causal, block_q=128, block_kv=128
+        )
+        ref, _ = attention_reference(q, k, v, causal=causal)
+        err = rel_err_norm(o, ref)
+        assert err < 0.05, err  # reference gate: 0.1
+
+    def test_gqa(self, rng):
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_int8qk,
+        )
+
+        q, _, _ = make_qkv(rng, s=256, h=4)
+        _, k, v = make_qkv(rng, s=256, h=2)
+        o = flash_attention_int8qk(q, k, v, causal=True, block_q=128, block_kv=128)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert rel_err_norm(o, ref) < 0.05
+
+    def test_output_dtype_follows_v(self, rng):
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_int8qk,
+        )
+
+        q, k, v = make_qkv(rng, s=256)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        o = flash_attention_int8qk(q, k, v, block_q=128, block_kv=128)
+        assert o.dtype == jnp.bfloat16
