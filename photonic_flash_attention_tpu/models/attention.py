@@ -68,6 +68,8 @@ def dispatch_attention(
     sm_scale: Optional[float] = None,
     kv_lens: Optional[jax.Array] = None,
     k_bias: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Static threshold dispatch — jit-safe kernel choice.
 
@@ -101,6 +103,32 @@ def dispatch_attention(
             else:
                 keep = jnp.arange(skv, dtype=jnp.int32)[None] < kv_lens[:, None]
             mask = keep[:, None, None, :]
+        if dropout_rate > 0.0:
+            # Attention-prob dropout on the fused path: materialize the
+            # weights, apply the SAME positional mask the flash kernel
+            # uses (pallas_utils.dropout_keep) so both paths produce
+            # identical samples for a given seed, and recombine with V.
+            from ..ops.pallas_utils import dropout_keep
+
+            _, w = fused_attention(
+                q, k, v, mask, bias=bias, causal=causal,
+                sm_scale=sm_scale, need_weights=True,
+            )
+            sq_, skv_ = q.shape[1], k.shape[1]
+            rows = jnp.arange(sq_, dtype=jnp.int32)[:, None]
+            cols = jnp.arange(skv_, dtype=jnp.int32)[None, :]
+            keep = dropout_keep(
+                dropout_seed.reshape(()), rows, cols, skv_, dropout_rate
+            )
+            wd = jnp.where(keep[None, None], w, 0.0) / (1.0 - dropout_rate)
+            vv = v
+            group = q.shape[2] // v.shape[2]
+            if group > 1:
+                vv = jnp.repeat(v, group, axis=2)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", wd, vv.astype(jnp.float32)
+            ).astype(q.dtype)
+            return out, (w if need_weights else None)
         return fused_attention(
             q,
             k,
@@ -115,6 +143,7 @@ def dispatch_attention(
         flash_attention(
             q, k, v, causal=causal, sm_scale=sm_scale,
             kv_lens=kv_lens, k_bias=k_bias,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         ),
         None,
     )
@@ -132,6 +161,10 @@ class PhotonicFlashAttention(nn.Module):
         num_kv_heads < num_heads).
       causal: apply causal masking.
       dropout_rate: attention-output dropout (train mode only).
+      attention_dropout: dropout on the attention probabilities inside
+        the kernel path (reference flash_attention_3.py:43,174-175) —
+        in-kernel positional mask on flash, identical-sample weight mask
+        on the fused path. Train mode only; needs a 'dropout' RNG.
       use_bias: bias on projections.
       adaptive: eager calls route through the measured AttentionEngine;
         in-trace calls always use static dispatch.
@@ -142,6 +175,7 @@ class PhotonicFlashAttention(nn.Module):
     num_kv_heads: Optional[int] = None
     causal: bool = False
     dropout_rate: float = 0.0
+    attention_dropout: float = 0.0
     use_bias: bool = True
     adaptive: bool = True
     dtype: jnp.dtype = jnp.bfloat16
@@ -191,7 +225,19 @@ class PhotonicFlashAttention(nn.Module):
         k = self.k_proj(key).reshape(b, skv, kvh, head_dim)
         v = self.v_proj(value).reshape(b, skv, kvh, head_dim)
 
-        if self.adaptive and not _is_tracing(q):
+        attn_rate = (
+            self.attention_dropout
+            if (not deterministic and self.attention_dropout > 0.0)
+            else 0.0
+        )
+        attn_seed = None
+        if attn_rate > 0.0:
+            attn_seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+            )
+
+        if self.adaptive and attn_rate == 0.0 and not _is_tracing(q):
             out, weights = get_engine()(
                 q, k, v, mask, causal=self.causal, need_weights=need_weights,
                 kv_lens=kv_lens, k_bias=k_bias,
@@ -200,6 +246,7 @@ class PhotonicFlashAttention(nn.Module):
             out, weights = dispatch_attention(
                 q, k, v, mask, causal=self.causal, need_weights=need_weights,
                 kv_lens=kv_lens, k_bias=k_bias,
+                dropout_rate=attn_rate, dropout_seed=attn_seed,
             )
 
         out = out.reshape(b, sq, self.num_heads * head_dim)

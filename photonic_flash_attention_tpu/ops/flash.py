@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_utils import NUM_LANES, cdiv, resolve_interpret, round_up
+from .pallas_utils import (
+    NUM_LANES,
+    cdiv,
+    dropout_keep,
+    resolve_interpret,
+    round_up,
+)
 from .reference import DEFAULT_MASK_VALUE
 from .rel_bias import (
     RelBias,
@@ -71,6 +77,8 @@ def _flash_fwd_kernel(
     lens_ref=None,  # (B,) SMEM per-sequence valid KV length; None = all valid
     kbias_ref=None,  # (1, 1, block_kv) VMEM per-key additive bias tile
     scale_ref=None,  # (1,) SMEM runtime score scale (int8-QK dequant)
+    seed_ref=None,  # (1,) SMEM dropout seed (attention-prob dropout)
+    dropout_rate: float = 0.0,
     rel: Tuple[str, bool, int, int] = _NO_REL,
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
     band_c: Optional[int] = None,  # banded grid: ki = (qi*bq + band_c)//bkv + kb
@@ -335,8 +343,29 @@ def _flash_fwd_kernel(
         l_scratch[:] = l_next
 
         v = v_ref[0, 0]  # [block_kv, d]
+        if dropout_rate > 0.0:
+            # Attention-probability dropout (reference applies dropout to
+            # attention weights inside its kernel path,
+            # flash_attention_3.py:43,174-175). The mask multiplies the
+            # P.V operand only — l keeps the FULL softmax sum, so the
+            # normalized weights are dropout(softmax(s)) exactly. The
+            # positional hash regenerates identically in the backward.
+            rows_g = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                + qi * block_q
+            )
+            cols_g = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                + ki * block_kv
+            )
+            keep = dropout_keep(
+                seed_ref[0], rows_g, cols_g, kv_true_len, dropout_rate
+            )
+            p_use = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
+        else:
+            p_use = p
         pv = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p_use.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         d_ = acc_scratch.shape[-1]
         alpha_d = alpha[:, :d_] if d_ <= NUM_LANES else jnp.tile(
@@ -383,6 +412,8 @@ def _flash_fwd(
     causal_mode: str = "full",
     score_scale: Optional[jax.Array] = None,  # (1,) fp32 runtime scale
     out_dtype=None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # (1,) int32
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -442,7 +473,8 @@ def _flash_fwd(
     has_lens = kv_lens is not None
     has_kbias = k_bias is not None
     has_scale = score_scale is not None
-    if has_tab or has_lens or has_kbias or has_scale:
+    has_seed = dropout_rate > 0.0
+    if has_tab or has_lens or has_kbias or has_scale or has_seed:
         # Peel the optional inputs (ordered tab, lens, kbias after q/k/v)
         # off the positional argument list into keywords.
         inner = kernel_fn
@@ -462,6 +494,9 @@ def _flash_fwd(
             if has_scale:
                 opt["scale_ref"] = rest[idx]
                 idx += 1
+            if has_seed:
+                opt["seed_ref"] = rest[idx]
+                idx += 1
             return inner(q_ref, k_ref, v_ref, *rest[idx:], **opt, **kw)
 
     kernel = functools.partial(
@@ -478,6 +513,7 @@ def _flash_fwd(
         band_c=band_c,
         kv_blocks_total=kv_blocks_total,
         causal_mode=causal_mode,
+        dropout_rate=dropout_rate,
     )
 
     if band_c is None:
@@ -555,6 +591,9 @@ def _flash_fwd(
     if has_scale:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(score_scale.astype(jnp.float32).reshape(1))
+    if has_seed:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(dropout_seed.astype(jnp.int32).reshape(1))
 
     outs = pl.pallas_call(
         kernel,
@@ -610,6 +649,8 @@ def _flash_bwd(
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
     kv_lens: Optional[jax.Array] = None,  # (B,) int32 valid KV lengths
     k_bias: Optional[jax.Array] = None,  # (B, Skv padded) fp32 per-key bias
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # (1,) int32
 ) -> Tuple[
     jax.Array, jax.Array, jax.Array, Optional[jax.Array], Optional[jax.Array]
 ]:
@@ -678,8 +719,21 @@ def _flash_bwd(
             )  # (B,1,sq,block_kv)
         # p from saved lse: rows fully masked have lse=-inf -> p=0 via where.
         p = jnp.where(valid, jnp.exp(s - lse_e), 0.0)
-        dv_blk = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_blk)
+        if dropout_rate > 0.0:
+            # Regenerate the forward's positional dropout mask; it scales
+            # the P.V path only (di = <o, do> already reflects it).
+            qrow = jax.lax.broadcasted_iota(jnp.int32, (sq, block_kv), 0)
+            keep = dropout_keep(
+                dropout_seed.reshape(()), qrow, col, kv_true_len, dropout_rate
+            )
+            mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)[
+                None, None
+            ]
+            dv_blk = jnp.einsum("bhqk,bhqd->bhkd", p * mscale, dof)
+            dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_blk) * mscale
+        else:
+            dv_blk = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+            dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_blk)
         dsb = p * (dp - di)  # grad wrt (scores + bias), unscaled
         if rel_kind == "alibi":
             dtab_acc = dtab_acc + jnp.sum(
@@ -806,6 +860,7 @@ def _flash_core_fwd_impl(
     tab=None, rel=_NO_REL, window=None, banded_grid=False,
     kv_lens=None, k_bias=None, causal_mode="full",
     score_scale=None, out_dtype=None,
+    dropout_rate=0.0, dropout_seed=None,
 ):
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -846,6 +901,8 @@ def _flash_core_fwd_impl(
         causal_mode=causal_mode,
         score_scale=score_scale,
         out_dtype=out_dtype,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
     )
     return o[:, :, :sq, :d], (lse[:, :, :sq] if lse is not None else None)
 
@@ -1103,6 +1160,79 @@ def _flash_core_masked_bwd(
 _flash_attention_core_masked.defvjp(_flash_core_masked_fwd, _flash_core_masked_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention_core_dropout(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    seed: jax.Array,  # (1,) int32
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+    dropout_rate: float,
+) -> jax.Array:
+    o, _ = _flash_core_fwd_impl(
+        q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+        save_residuals=False, dropout_rate=dropout_rate, dropout_seed=seed,
+    )
+    return o
+
+
+def _flash_core_dropout_fwd(
+    q, k, v, seed, sm_scale, causal, block_q, block_kv, interpret, dropout_rate
+):
+    o, lse = _flash_core_fwd_impl(
+        q, k, v, sm_scale, causal, block_q, block_kv, interpret,
+        save_residuals=True, dropout_rate=dropout_rate, dropout_seed=seed,
+    )
+    return o, (q, k, v, seed, o, lse)
+
+
+def _flash_core_dropout_bwd(
+    sm_scale, causal, block_q, block_kv, interpret, dropout_rate, residuals, do
+):
+    q, k, v, seed, o, lse = residuals
+    b, h, _, d = q.shape
+    hkv = k.shape[1]
+    group = h // hkv
+    skv = k.shape[2]
+    skv_p = round_up(skv, block_kv)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    if group > 1:
+        kp = jnp.repeat(kp, group, axis=1)
+        vp = jnp.repeat(vp, group, axis=1)
+    dq, dk, dv, _, _ = _flash_bwd(
+        q,
+        kp,
+        vp,
+        o,
+        lse,
+        do,
+        sm_scale=sm_scale,
+        causal=causal,
+        q_true_len=q.shape[2],
+        kv_true_len=skv,
+        block_kv=block_kv,
+        dropout_rate=dropout_rate,
+        dropout_seed=seed,
+    )
+    dk = dk[:, :, :skv]
+    dv = dv[:, :, :skv]
+    if group > 1:
+        dk = dk.reshape(b, hkv, group, skv, d).sum(2)
+        dv = dv.reshape(b, hkv, group, skv, d).sum(2)
+    dseed = jnp.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), dseed
+
+
+_flash_attention_core_dropout.defvjp(
+    _flash_core_dropout_fwd, _flash_core_dropout_bwd
+)
+
+
 # --- rel-bias variant: the (H, W) table is a 4th differentiable input ----
 
 
@@ -1197,6 +1327,8 @@ def flash_attention(
     kv_lens: Optional[jax.Array] = None,
     k_bias: Optional[jax.Array] = None,
     causal_split: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention on TPU via Pallas.
 
@@ -1247,6 +1379,22 @@ def flash_attention(
         raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
 
     scale = sm_scale if sm_scale is not None else d ** -0.5
+    if dropout_rate > 0.0:
+        # Attention-probability dropout (training): in-kernel positional
+        # mask — see pallas_utils.dropout_keep. The reference applies
+        # dropout to attention weights inside its kernel path
+        # (flash_attention_3.py:43,174-175); here no (Sq, Skv) mask
+        # tensor ever exists in HBM. Not combinable with the masked/
+        # biased/windowed variants (those paths are inference surfaces).
+        if not 0.0 < dropout_rate < 1.0:
+            raise ValueError(f"dropout_rate must be in (0, 1), got {dropout_rate}")
+        if kv_lens is not None or k_bias is not None or rel_bias is not None or window is not None:
+            raise ValueError(
+                "dropout_rate cannot be combined with kv_lens/k_bias/"
+                "rel_bias/window"
+            )
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed")
     # Measured sweet spot on v5e (dispatch-overhead-free linear-fit sweeps
     # at S in 2K..8K, D=64/128, after the lane-replicated-stats rewrite):
     # 512 x 512 wins at every geometry tried (e.g. B4xS2048xH12xD64
@@ -1300,6 +1448,12 @@ def flash_attention(
         rel = rel_statics(rel_bias)
         o = _flash_attention_core_rel(
             qt, kt, vt, tab, rel, scale, causal, bq, bkv, interp
+        )
+    elif dropout_rate > 0.0:
+        seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+        o = _flash_attention_core_dropout(
+            qt, kt, vt, seed_arr, scale, causal, bq, bkv, interp,
+            float(dropout_rate),
         )
     else:
         o = _flash_attention_core(

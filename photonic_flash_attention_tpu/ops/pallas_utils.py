@@ -35,3 +35,35 @@ def resolve_interpret(interpret: Optional[bool]) -> bool:
     if interpret is not None:
         return interpret
     return default_backend() != "tpu"
+
+
+def dropout_keep(seed, rows, cols, kv_stride: int, rate: float):
+    """Deterministic positional dropout mask — layout/block independent.
+
+    A murmur3-style 32-bit finalizer over the GLOBAL (q_row, kv_col)
+    position and a seed. Because the mask depends only on position, the
+    forward kernel, the Pallas backward (which works in the transposed
+    score domain), and the XLA blockwise backward (different block
+    sizes) all regenerate byte-identical masks — no (Sq, Skv) mask
+    tensor ever exists in HBM.
+
+    Args:
+      seed: traced int32/uint32 scalar.
+      rows/cols: int32 arrays (broadcastable) of global q/kv indices.
+      kv_stride: static int, the true KV length (position linearizer).
+      rate: static drop probability in [0, 1).
+
+    Returns a bool array: True = keep.
+    """
+    import jax.numpy as jnp
+
+    x = (
+        rows.astype(jnp.uint32) * jnp.uint32(kv_stride & 0xFFFFFFFF)
+        + cols.astype(jnp.uint32)
+    ) ^ seed.astype(jnp.uint32)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return x >= thresh

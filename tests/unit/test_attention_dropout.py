@@ -1,0 +1,170 @@
+"""Attention-probability dropout on the kernel paths (VERDICT r2 missing #5).
+
+The reference applies dropout to attention weights inside its kernel
+path (reference core/flash_attention_3.py:43,174-175). Here the mask is
+a positional hash (ops/pallas_utils.dropout_keep) regenerated
+identically by the flash forward, the blockwise backward, and the fused
+path — so the flash and fused branches produce byte-identical samples
+for a given seed and no (Sq, Skv) mask tensor ever exists in HBM.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photonic_flash_attention_tpu.config import set_global_config
+from photonic_flash_attention_tpu.models.attention import (
+    PhotonicFlashAttention,
+    dispatch_attention,
+)
+from photonic_flash_attention_tpu.ops.flash import flash_attention
+from photonic_flash_attention_tpu.ops.pallas_utils import dropout_keep
+from photonic_flash_attention_tpu.ops.reference import attention_reference
+
+RATE, SEED = 0.2, 1234
+
+
+def make_qkv(rng, b=2, s=256, h=4, d=64):
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    return q, k, v
+
+
+def oracle_dropped(q, k, v, causal, rate=RATE, seed=SEED):
+    """Softmax -> apply the same positional mask -> recombine."""
+    s = k.shape[1]
+    _, w = attention_reference(q, k, v, causal=causal, need_weights=True)
+    rows = jnp.arange(q.shape[1], dtype=jnp.int32)[:, None]
+    cols = jnp.arange(s, dtype=jnp.int32)[None, :]
+    keep = dropout_keep(jnp.int32(seed), rows, cols, s, rate)
+    wd = jnp.where(keep[None, None], w, 0.0) / (1 - rate)
+    group = q.shape[2] // v.shape[2]
+    vv = jnp.repeat(v, group, axis=2) if group > 1 else v
+    return jnp.einsum("bhqk,bkhd->bqhd", wd, vv.astype(jnp.float32))
+
+
+class TestFlashDropout:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_forward_matches_masked_oracle(self, rng, causal):
+        q, k, v = make_qkv(rng)
+        o = flash_attention(
+            q, k, v, causal=causal, dropout_rate=RATE, dropout_seed=SEED,
+            block_q=128, block_kv=128,
+        )
+        ref = oracle_dropped(q, k, v, causal)
+        err = float(jnp.linalg.norm(o - ref) / jnp.linalg.norm(ref))
+        assert err < 1e-5, err
+
+    def test_grads_match_masked_oracle(self, rng):
+        q, k, v = make_qkv(rng)
+
+        def loss_flash(q, k, v):
+            o = flash_attention(
+                q, k, v, causal=True, dropout_rate=RATE, dropout_seed=SEED,
+                block_q=128, block_kv=128,
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(oracle_dropped(q, k, v, True) ** 2)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g1, g2):
+            e = float(
+                jnp.linalg.norm(a - b) / max(float(jnp.linalg.norm(b)), 1e-9)
+            )
+            assert e < 1e-4, (name, e)
+
+    def test_block_size_invariance(self, rng):
+        """The positional hash makes the sample independent of tiling."""
+        q, k, v = make_qkv(rng)
+        o1 = flash_attention(
+            q, k, v, causal=True, dropout_rate=RATE, dropout_seed=SEED,
+            block_q=128, block_kv=128,
+        )
+        o2 = flash_attention(
+            q, k, v, causal=True, dropout_rate=RATE, dropout_seed=SEED,
+            block_q=256, block_kv=128,
+        )
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    def test_empirical_rate(self):
+        rows = jnp.arange(512, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(512, dtype=jnp.int32)[None, :]
+        keep = dropout_keep(jnp.int32(7), rows, cols, 512, RATE)
+        frac = 1.0 - float(jnp.mean(keep.astype(jnp.float32)))
+        assert abs(frac - RATE) < 0.01
+
+    def test_requires_seed(self, rng):
+        q, k, v = make_qkv(rng, s=128)
+        with pytest.raises(ValueError, match="dropout_seed"):
+            flash_attention(q, k, v, dropout_rate=0.1)
+
+    def test_fused_and_flash_identical_sample(self, rng):
+        """Same seed => same dropped output regardless of which branch the
+        threshold dispatch picks (the hash is path-independent)."""
+        q, k, v = make_qkv(rng, s=512)
+        set_global_config(flash_threshold=64, flash_min_tokens=1)
+        o_flash, _ = dispatch_attention(
+            q, k, v, causal=True, dropout_rate=RATE,
+            dropout_seed=jnp.asarray([SEED], jnp.int32),
+        )
+        set_global_config(flash_threshold=100000)
+        o_fused, _ = dispatch_attention(
+            q, k, v, causal=True, dropout_rate=RATE,
+            dropout_seed=jnp.asarray([SEED], jnp.int32),
+        )
+        set_global_config(flash_threshold=512, flash_min_tokens=2048)
+        err = float(
+            jnp.linalg.norm(o_flash - o_fused) / jnp.linalg.norm(o_fused)
+        )
+        assert err < 1e-5, err
+
+
+class TestModuleAttentionDropout:
+    def test_train_mode_applies_and_eval_does_not(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.float32)
+        mod = PhotonicFlashAttention(
+            embed_dim=128, num_heads=4, dtype=jnp.float32,
+            attention_dropout=0.3, adaptive=False,
+        )
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out_eval, _ = mod.apply(params, x, deterministic=True)
+        out_train, _ = mod.apply(
+            params, x, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert not np.allclose(
+            np.asarray(out_eval), np.asarray(out_train), atol=1e-4
+        )
+        # deterministic across identical rng keys
+        out_train2, _ = mod.apply(
+            params, x, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_train), np.asarray(out_train2), atol=1e-6
+        )
+
+    def test_gradients_flow_through_dropout(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.float32)
+        mod = PhotonicFlashAttention(
+            embed_dim=128, num_heads=4, dtype=jnp.float32,
+            attention_dropout=0.2, adaptive=False, causal=True,
+        )
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            out, _ = mod.apply(
+                p, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
