@@ -57,6 +57,7 @@ def _model_adapter(cfg):
     from ..models.llama_serving import (
         create_llama_pages,
         llama_decode_step,
+        llama_prefill_chunk_step,
         llama_prefill_step,
     )
 
@@ -67,7 +68,7 @@ def _model_adapter(cfg):
             ),
             llama_prefill_step,
             llama_decode_step,
-            None,
+            llama_prefill_chunk_step,
         )
     raise TypeError(f"no serving adapter for config type {type(cfg).__name__}")
 

@@ -197,3 +197,94 @@ def llama_decode_step(
     x = _rms_norm(x, params["norm"]["scale"], eps)
     logits = _lm_head(x, params, cfg)
     return logits.astype(jnp.float32), new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized", "s_hist"))
+def llama_prefill_chunk_step(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    input_ids: jax.Array,  # (B, C) chunk tokens, right-padded
+    chunk_start: jax.Array,  # (B,) global position of chunk token 0
+    chunk_lens: jax.Array,  # (B,) valid tokens in this chunk
+    pages_tree: Dict[str, jax.Array],
+    flat_slots: jax.Array,  # (B, C)
+    page_tables: jax.Array,  # (B, pages_per_seq)
+    quantized: bool,
+    s_hist: int,  # static history window (tokens; page multiple)
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One chunk of an incremental (chunked) Llama prefill.
+
+    Same structure as :func:`.gpt2_serving.prefill_chunk_step` (history
+    gather from pages + one flash call over [history || chunk] with
+    cross-length causal and a dead-tail k_bias), with the family's
+    differences: RoPE rotates the chunk's q/k by their TRUE absolute
+    positions, and the history K gathered from the pool is already
+    rotated (K is stored post-RoPE), so no re-rotation is needed. GQA:
+    the gathered history carries Hkv heads; the flash kernel broadcasts
+    query-head groups natively.
+    """
+    from ..ops.reference import DEFAULT_MASK_VALUE
+    from .gpt2_serving import _gather_history
+
+    b, c = input_ids.shape
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    page = pages_tree["k"].shape[-1]
+    n_hist_pages = s_hist // page
+    positions = chunk_start[:, None] + jnp.arange(c, dtype=jnp.int32)[None]
+    cos, sin = rope_cos_sin(positions, d, cfg.rope_theta)
+    x = params["embed_tokens"].astype(cfg.dtype)[input_ids]
+    blk = params["layers"]["layer"]
+
+    hist_col = jnp.arange(s_hist, dtype=jnp.int32)[None]
+    hist_dead = hist_col >= chunk_start[:, None]
+    chunk_col = jnp.arange(c, dtype=jnp.int32)[None]
+    chunk_dead = chunk_col >= chunk_lens[:, None]
+    dead = jnp.concatenate([hist_dead, chunk_dead], axis=1)
+    k_bias = jnp.where(dead, jnp.float32(DEFAULT_MASK_VALUE), 0.0)
+
+    def layer(carry, xs):
+        x, pool = carry
+        p_l, lyr = xs
+        h_in = _rms_norm(x, p_l["input_ln"]["scale"], eps)
+        a = p_l["attn"]
+        q = _dense(h_in, a["q_proj"]["kernel"]).reshape(b, c, hq, d)
+        k = _dense(h_in, a["k_proj"]["kernel"]).reshape(b, c, hkv, d)
+        v = _dense(h_in, a["v_proj"]["kernel"]).reshape(b, c, hkv, d)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if n_hist_pages > 0:
+            k_hist, v_hist = _gather_history(
+                pool, page_tables, lyr, n_hist_pages, quantized
+            )
+            k_cat = jnp.concatenate([k_hist.astype(q.dtype), k], axis=1)
+            v_cat = jnp.concatenate([v_hist.astype(q.dtype), v], axis=1)
+        else:
+            k_cat, v_cat = k, v
+        pool = _decode_write(
+            pool,
+            k.reshape(b * c, hkv, d),
+            v.reshape(b * c, hkv, d),
+            flat_slots.reshape(b * c),
+            lyr,
+            quantized,
+        )
+        attn = flash_attention(q, k_cat, v_cat, causal=True, k_bias=k_bias)
+        attn = _dense(attn.reshape(b, c, hq * d), a["o_proj"]["kernel"])
+        x = x + attn
+        h2 = _rms_norm(x, p_l["post_attn_ln"]["scale"], eps)
+        m = p_l["mlp"]
+        gate = jax.nn.silu(_dense(h2, m["gate_proj"]["kernel"]))
+        up = _dense(h2, m["up_proj"]["kernel"])
+        return (x + _dense(gate * up, m["down_proj"]["kernel"]), pool), None
+
+    (x, new_cache), _ = jax.lax.scan(
+        layer,
+        (x, pages_tree),
+        (blk, jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)),
+    )
+    x = _rms_norm(x, params["norm"]["scale"], eps)
+    idx = jnp.clip(chunk_lens - 1, 0, c - 1)
+    x_last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+    logits = _lm_head(x_last, params, cfg)
+    return logits.astype(jnp.float32), new_cache

@@ -81,3 +81,17 @@ class TestLlamaServing:
             eng2._sequences[s].tokens[eng2._sequences[s].prompt_len :] for s in sids
         ]
         assert got == expected
+
+
+class TestLlamaChunkedPrefill:
+    def test_chunked_matches_single_shot(self, tiny_llama, rng):
+        """Chunked prefill (RoPE positions + GQA history) reproduces the
+        dense greedy tokens exactly."""
+        cfg, model, variables = tiny_llama
+        prompt = list(map(int, rng.integers(1, cfg.vocab_size, 40)))
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=64, page_size=16,
+            max_batch=2, prefill_chunk=16,
+        )
+        outs = eng.generate([prompt], max_new_tokens=5)
+        assert outs[0] == dense_greedy(model, variables, prompt, 5)
