@@ -212,6 +212,10 @@ def serve_bench(args: argparse.Namespace) -> int:
                 page_size=args.page_size,
                 max_pages_per_seq=pages_per_seq,
                 decode_window=args.decode_window,
+                prefill_chunk=args.prefill_chunk,
+                temperature=args.temperature,
+                top_k=args.top_k,
+                seed=args.sample_seed,
             )
             for p in prompts:
                 eng.submit(p, args.new_tokens)
@@ -347,6 +351,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     s.add_argument("--kv-dtype", choices=("bf16", "int8", "both"), default="both")
     # Device-resident decode window (steps per host round-trip).
     s.add_argument("--decode-window", type=int, default=16)
+    # Chunked prefill: page-aligned chunk size (None = single-shot).
+    s.add_argument("--prefill-chunk", type=int, default=None)
+    # Sampling: temperature 0 = greedy; top-k 0 = no truncation.
+    s.add_argument("--temperature", type=float, default=0.0)
+    s.add_argument("--top-k", type=int, default=0)
+    s.add_argument("--sample-seed", type=int, default=0)
     s.add_argument("--output", "-o", default=None)
     s.set_defaults(fn=serve_bench)
 
