@@ -362,6 +362,13 @@ class ServingEngine:
         # all run under shard_map. GPT-2 family only today.
         mesh=None,
         model_axis: str = "model",
+        # Admission policy: "fifo" (strict priority-then-FIFO; a large
+        # request at the head waits for pages and blocks later ones) or
+        # "best-fit" (bounded skip-ahead: when the head does not fit,
+        # admit the first of the next ADMIT_SKIP_AHEAD waiters that
+        # does; can delay a large head — opt in for small-request-heavy
+        # traffic).
+        admission: str = "fifo",
     ) -> None:
         # The fused Pallas decode kernel is the only decode path on TPU
         # (its aliased-pool write+attend structure has no XLA equivalent
@@ -397,6 +404,9 @@ class ServingEngine:
                     f"prefill_chunk must be a positive multiple of "
                     f"page_size ({page_size}); got {prefill_chunk}"
                 )
+        if admission not in ("fifo", "best-fit"):
+            raise ValueError(f"admission must be 'fifo' or 'best-fit', got {admission!r}")
+        self.admission = admission
         self.prefill_chunk = prefill_chunk
         self._mesh = mesh
         self._model_axis = model_axis
@@ -559,12 +569,31 @@ class ServingEngine:
     def _pages_needed(self, tokens: int) -> int:
         return -(-tokens // self.page_size)
 
+    ADMIT_SKIP_AHEAD = 4
+
+    def _pick_admittable(self) -> Optional[int]:
+        """Next sequence to admit under the configured policy."""
+        head = self._sched.peek()
+        if head is None:
+            return None
+        if self.admission == "fifo":
+            return head
+        # best-fit: try the head first, then up to ADMIT_SKIP_AHEAD
+        # waiters behind it (a small request should not starve behind a
+        # large head that cannot get pages anyway).
+        for sid in self._sched.waiting_ids()[: self.ADMIT_SKIP_AHEAD + 1]:
+            seq = self._sequences[sid]
+            need = self._pages_needed(seq.prompt_len + seq.max_new_tokens)
+            if need <= self._alloc.stats()["pages_free"]:
+                return sid
+        return head  # nothing fits; report the head (admission will stall)
+
     def _try_admit(self) -> None:
         """Move waiting sequences into free slots when pages suffice."""
         for slot in range(self.max_batch):
             if self._slots[slot] is not None:
                 continue
-            sid = self._sched.peek()
+            sid = self._pick_admittable()
             if sid is None:
                 break
             seq = self._sequences[sid]
@@ -572,7 +601,7 @@ class ServingEngine:
             try:
                 seq.alloc_id = self._alloc.allocate_sequence(total_tokens)
             except KVCacheError:
-                break  # queue head blocked; wait for pages
+                break  # nothing admittable; wait for pages
             self._sched.pop(sid)
             seq.page_ids = self._alloc.page_ids(seq.alloc_id)
             seq.slot = slot
@@ -864,6 +893,7 @@ class ServingEngine:
                 "kv_dtype": "int8" if self.quantized else "bf16",
                 "eos_token_id": self.eos_token_id,
                 "prefill_chunk": self.prefill_chunk,
+                "admission": self.admission,
                 "temperature": self.temperature,
                 "top_k": self.top_k,
                 "seed": self._sample_seed,
@@ -923,6 +953,7 @@ class ServingEngine:
             kv_dtype=jnp.int8 if ctor["kv_dtype"] == "int8" else jnp.bfloat16,
             eos_token_id=ctor["eos_token_id"],
             prefill_chunk=ctor.get("prefill_chunk"),
+            admission=ctor.get("admission", "fifo"),
             temperature=ctor.get("temperature", 0.0),
             top_k=ctor.get("top_k", 0),
             seed=ctor.get("seed", 0),
