@@ -273,6 +273,7 @@ class PhotonicMultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout_rate: float = 0.0
+    attention_dropout: float = 0.0
     use_bias: bool = True
     causal: bool = False
     dtype: jnp.dtype = jnp.bfloat16
@@ -284,6 +285,7 @@ class PhotonicMultiHeadAttention(nn.Module):
             num_heads=self.num_heads,
             causal=self.causal,
             dropout_rate=self.dropout_rate,
+            attention_dropout=self.attention_dropout,
             use_bias=self.use_bias,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

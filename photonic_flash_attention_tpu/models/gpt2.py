@@ -33,6 +33,9 @@ class GPT2Config:
     n_layer: int = 12
     n_head: int = 12
     layer_norm_epsilon: float = 1e-5
+    #: dropout on attention probabilities (HF attn_pdrop) — train mode
+    #: only; applied in-kernel on the flash path (ops/flash.py).
+    attn_pdrop: float = 0.0
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -75,6 +78,7 @@ class Block(nn.Module):
             embed_dim=cfg.n_embd,
             num_heads=cfg.n_head,
             causal=True,
+            attention_dropout=cfg.attn_pdrop,
             dtype=cfg.dtype,
             adaptive=False,  # in-model calls are traced; static dispatch
             name="attn",
@@ -137,7 +141,9 @@ class GPT2LMHead(nn.Module):
             scanned = nn.scan(
                 _ScanBlock,
                 variable_axes={"params": 0},
-                split_rngs={"params": True},
+                # Each layer draws its own dropout stream (ignored when no
+                # 'dropout' rng is provided, i.e. deterministic runs).
+                split_rngs={"params": True, "dropout": True},
                 length=cfg.n_layer,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(cfg, deterministic, name="h")
