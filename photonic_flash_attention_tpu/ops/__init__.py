@@ -1,6 +1,12 @@
 """Compute kernels: flash attention, fused short-seq, quantization, paging."""
 
 from .flash import flash_attention
+from .flash_fp8 import (
+    flash_attention_fp8,
+    flash_attention_int8,
+    flash_attention_int8qk,
+    flash_attention_quant,
+)
 from .fused import fused_attention
 from .nonlinearity import (
     NonlinearityType,
@@ -34,6 +40,10 @@ __all__ = [
     "attention_reference",
     "dequantize",
     "flash_attention",
+    "flash_attention_fp8",
+    "flash_attention_int8",
+    "flash_attention_int8qk",
+    "flash_attention_quant",
     "fused_attention",
     "quantization_error",
     "quantize",
