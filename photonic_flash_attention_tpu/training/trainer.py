@@ -45,9 +45,26 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def lm_loss(model_apply: Callable, params, batch: Dict[str, jax.Array]) -> jax.Array:
-    """Next-token cross entropy with an optional loss mask."""
-    logits = model_apply({"params": params}, batch["input_ids"])
+def lm_loss(
+    model_apply: Callable,
+    params,
+    batch: Dict[str, jax.Array],
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Next-token cross entropy with an optional loss mask.
+
+    ``dropout_rng`` switches the model to train mode (dropout active,
+    incl. in-kernel attention-prob dropout) with that PRNG key.
+    """
+    if dropout_rng is not None:
+        logits = model_apply(
+            {"params": params},
+            batch["input_ids"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+    else:
+        logits = model_apply({"params": params}, batch["input_ids"])
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logp, batch["labels"][..., None], axis=-1)[..., 0]
     mask = batch.get("loss_mask")
@@ -64,32 +81,61 @@ def make_train_step(
     loss_fn: Optional[Callable] = None,
     accum_steps: int = 1,
     remat: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Build a jittable ``(state, batch) -> (state, metrics)`` step.
 
     ``batch`` arrays have a leading microbatch axis when
     ``accum_steps > 1``: shape (accum, per_step_batch, ...).
+    ``dropout_rng``: base PRNG key for train-mode dropout; each step
+    folds in ``state.step`` (and the microbatch index) so every step
+    draws fresh masks. None = eval-mode forward (no dropout).
     """
     base_loss = loss_fn or lm_loss
 
-    plain = lambda params, micro: base_loss(model_apply, params, micro)  # noqa: E731
+    if dropout_rng is not None:
+        plain = lambda params, micro, key: base_loss(  # noqa: E731
+            model_apply, params, micro, dropout_rng=key
+        )
+    else:
+        plain = lambda params, micro, key: base_loss(  # noqa: E731
+            model_apply, params, micro
+        )
     one_loss = jax.checkpoint(plain) if remat else plain
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
+        step_key = (
+            jax.random.fold_in(dropout_rng, state.step)
+            if dropout_rng is not None
+            else None
+        )
         if accum_steps == 1:
-            loss, grads = jax.value_and_grad(one_loss)(state.params, batch)
+            loss, grads = jax.value_and_grad(one_loss)(
+                state.params, batch, step_key
+            )
         else:
-            def accum(carry, micro):
+            def accum(carry, xs):
+                micro, idx = xs
                 loss_acc, grads_acc = carry
-                loss, grads = jax.value_and_grad(one_loss)(state.params, micro)
+                key = (
+                    jax.random.fold_in(step_key, idx)
+                    if step_key is not None
+                    else None
+                )
+                loss, grads = jax.value_and_grad(one_loss)(
+                    state.params, micro, key
+                )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 return (loss_acc + loss, grads_acc), None
 
             zeros = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
+            n_micro = jax.tree_util.tree_leaves(batch)[0].shape[0]
             (loss, grads), _ = jax.lax.scan(
-                accum, (jnp.float32(0), zeros), batch
+                accum,
+                (jnp.float32(0), zeros),
+                (batch, jnp.arange(n_micro, dtype=jnp.int32)),
             )
             loss = loss / accum_steps
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)

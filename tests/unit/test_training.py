@@ -152,3 +152,42 @@ class TestDataPipeline:
         b = next(synthetic_lm_batches(batch=3, seq=16, vocab=100, accum_steps=2))
         assert b["input_ids"].shape == (2, 3, 16)
         assert b["labels"].shape == (2, 3, 16)
+
+
+def test_train_step_with_dropout_rng(rng):
+    """Dropout-regularized training: fresh in-kernel attention-dropout
+    masks per step, finite loss/grads, loss differs from eval-mode."""
+    import dataclasses
+
+    import optax
+
+    from photonic_flash_attention_tpu.models.gpt2 import GPT2Config, GPT2LMHead
+    from photonic_flash_attention_tpu.training.trainer import (
+        TrainState,
+        make_train_step,
+    )
+
+    cfg = dataclasses.replace(
+        GPT2Config.tiny(), attn_pdrop=0.2, dtype=jnp.float32
+    )
+    model = GPT2LMHead(cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 64)), jnp.int32)
+    batch = {"input_ids": ids, "labels": jnp.roll(ids, -1, axis=1)}
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    tx = optax.sgd(1e-3)
+    state = TrainState(
+        step=jnp.int32(0),
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+    )
+    step_drop = make_train_step(
+        model.apply, tx, dropout_rng=jax.random.PRNGKey(7)
+    )
+    step_eval = make_train_step(model.apply, tx)
+    s1, m1 = step_drop(state, batch)
+    _, m0 = step_eval(state, batch)
+    assert bool(jnp.isfinite(m1["loss"])) and float(m1["grad_norm"]) > 0
+    assert float(m1["loss"]) != float(m0["loss"])  # dropout changed the fwd
+    # next step folds a different key -> different masks -> different loss
+    s2, m2 = step_drop(s1, batch)
+    assert float(m2["loss"]) != float(m1["loss"])
