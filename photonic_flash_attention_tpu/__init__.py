@@ -28,7 +28,14 @@ __all__ = [
 
 def __getattr__(name):
     # Lazy re-exports keep `import photonic_flash_attention_tpu` light.
-    if name in ("flash_attention", "fused_attention"):
+    if name in (
+        "flash_attention",
+        "flash_attention_fp8",
+        "flash_attention_int8",
+        "flash_attention_int8qk",
+        "flash_attention_quant",
+        "fused_attention",
+    ):
         from . import ops
 
         return getattr(ops, name)
