@@ -168,3 +168,35 @@ class TestModuleAttentionDropout:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
         assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+class TestDropoutGQA:
+    def test_gqa_forward_and_grads(self, rng):
+        """GQA (Hkv < Hq) with attention dropout: fwd + grads match the
+        masked oracle (bwd group-repeats KV and sums per group)."""
+        q, _, _ = make_qkv(rng, s=256, h=4)
+        _, k, v = make_qkv(rng, s=256, h=2)
+        o = flash_attention(
+            q, k, v, causal=True, dropout_rate=RATE, dropout_seed=SEED,
+            block_q=128, block_kv=128,
+        )
+        ref = oracle_dropped(q, k, v, True)
+        assert float(jnp.linalg.norm(o - ref) / jnp.linalg.norm(ref)) < 1e-5
+
+        def loss_flash(q, k, v):
+            o = flash_attention(
+                q, k, v, causal=True, dropout_rate=RATE, dropout_seed=SEED,
+                block_q=128, block_kv=128,
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(oracle_dropped(q, k, v, True) ** 2)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g1, g2):
+            e = float(
+                jnp.linalg.norm(a - b) / max(float(jnp.linalg.norm(b)), 1e-9)
+            )
+            assert e < 1e-4, (name, e)

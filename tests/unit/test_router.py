@@ -118,3 +118,37 @@ class TestPersistence:
         s = r.get_stats()
         assert s["total_requests"] == 1
         assert "flash" in s["kernels"]
+
+
+def test_save_load_roundtrips_measurement_freshness(tmp_path):
+    """updated_at survives persistence: fresh measurements stay fresh,
+    absent timestamps load as stale (re-measured on first selection)."""
+    from photonic_flash_attention_tpu.core.router import (
+        AdaptiveRouter,
+        KernelKind,
+        WorkloadCharacteristics,
+    )
+
+    w = WorkloadCharacteristics(
+        batch_size=1, q_len=256, kv_len=256, num_heads=4, head_dim=64
+    )
+    r = AdaptiveRouter(seed=0)
+    r.record_measurement(KernelKind.FLASH, w, 0.7)
+    path = str(tmp_path / "router.json")
+    r.save_state(path)
+
+    r2 = AdaptiveRouter(seed=0, state_path=path)
+    assert r2.predicted_latency(KernelKind.FLASH, w) == 0.7
+    assert not r2.needs_measurement(KernelKind.FLASH, w)
+
+    # Strip the timestamp (old-format state) -> stale on load.
+    import json
+
+    payload = json.load(open(path))
+    for entries in payload["latency"].values():
+        for e in entries:
+            e.pop("updated_at", None)
+    json.dump(payload, open(path, "w"))
+    r3 = AdaptiveRouter(seed=0, state_path=path)
+    assert r3.predicted_latency(KernelKind.FLASH, w) == 0.7
+    assert r3.needs_measurement(KernelKind.FLASH, w)
