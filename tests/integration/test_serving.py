@@ -362,6 +362,22 @@ class TestShardedServing:
         ).generate([prompt], max_new_tokens=8)
         assert out == ref
 
+    def test_sharded_int8_kv_matches_unsharded(self, tiny_model, rng):
+        """INT8 page pools shard too (per-token scales on the head axis);
+        sharding must be exact vs the unsharded int8 engine."""
+        cfg, model, variables = tiny_model
+        prompt = list(map(int, rng.integers(1, cfg.vocab_size, 9)))
+        eng = ServingEngine(
+            cfg, variables["params"], num_pages=64, page_size=16,
+            max_batch=2, mesh=self._mesh(), kv_dtype=jnp.int8,
+        )
+        outs = eng.generate([prompt], max_new_tokens=4)
+        ref_eng = ServingEngine(
+            cfg, variables["params"], num_pages=64, page_size=16,
+            max_batch=2, kv_dtype=jnp.int8,
+        )
+        assert outs == ref_eng.generate([prompt], max_new_tokens=4)
+
     def test_indivisible_heads_rejected(self, tiny_model):
         from photonic_flash_attention_tpu.parallel.mesh import create_mesh
 
