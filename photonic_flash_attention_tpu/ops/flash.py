@@ -1198,29 +1198,48 @@ def _flash_core_dropout_bwd(
     hkv = k.shape[1]
     group = h // hkv
     skv = k.shape[2]
-    skv_p = round_up(skv, block_kv)
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
-    if group > 1:
-        kp = jnp.repeat(kp, group, axis=1)
-        vp = jnp.repeat(vp, group, axis=1)
-    dq, dk, dv, _, _ = _flash_bwd(
-        q,
-        kp,
-        vp,
-        o,
-        lse,
-        do,
-        sm_scale=sm_scale,
-        causal=causal,
-        q_true_len=q.shape[2],
-        kv_true_len=skv,
-        block_kv=block_kv,
-        dropout_rate=dropout_rate,
-        dropout_seed=seed,
-    )
-    dk = dk[:, :, :skv]
-    dv = dv[:, :, :skv]
+    if _use_pallas_bwd():
+        from .flash_bwd import flash_attention_bwd_pallas
+
+        k_in = jnp.repeat(k, group, axis=1) if group > 1 else k
+        v_in = jnp.repeat(v, group, axis=1) if group > 1 else v
+        dq, dk, dv = flash_attention_bwd_pallas(
+            q,
+            k_in,
+            v_in,
+            o,
+            lse,
+            do,
+            sm_scale=sm_scale,
+            causal=causal,
+            interpret=interpret,
+            dropout_rate=dropout_rate,
+            dropout_seed=seed,
+        )
+    else:
+        skv_p = round_up(skv, block_kv)
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        if group > 1:
+            kp = jnp.repeat(kp, group, axis=1)
+            vp = jnp.repeat(vp, group, axis=1)
+        dq, dk, dv, _, _ = _flash_bwd(
+            q,
+            kp,
+            vp,
+            o,
+            lse,
+            do,
+            sm_scale=sm_scale,
+            causal=causal,
+            q_true_len=q.shape[2],
+            kv_true_len=skv,
+            block_kv=block_kv,
+            dropout_rate=dropout_rate,
+            dropout_seed=seed,
+        )
+        dk = dk[:, :, :skv]
+        dv = dv[:, :, :skv]
     if group > 1:
         dk = dk.reshape(b, hkv, group, skv, d).sum(2)
         dv = dv.reshape(b, hkv, group, skv, d).sum(2)

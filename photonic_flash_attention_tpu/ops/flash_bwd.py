@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_utils import NUM_LANES, round_up
+from .pallas_utils import NUM_LANES, dropout_keep, round_up
 
 
 def _tile_masks(
@@ -108,13 +108,17 @@ def _tile_masks(
 
 
 def _p_and_ds(
-    q, k, v, do, lse_row, di_row, valid, *, sm_scale: float
+    q, k, v, do, lse_row, di_row, valid, *, sm_scale: float, mscale_t=None
 ):
     """Transposed-domain probability + score-grad tiles.
 
     q/do: (block_q, d); k/v: (block_kv, d); lse_row/di_row: (1, block_q).
-    Returns p_t, ds_t of shape (block_kv, block_q) in fp32, where
-    ds_t already carries the sm_scale factor.
+    Returns (pv_t, ds_t) of shape (block_kv, block_q) in fp32, where
+    ds_t already carries the sm_scale factor and pv_t is the P tile to
+    contract with dO for dv. ``mscale_t`` (optional, (block_kv, block_q))
+    is the attention-dropout keep/(1-rate) mask in the transposed layout:
+    it scales the P.V path only (dv's P and the dp term; di = <o, do>
+    is dropout-invariant — see ops/flash.py dropout notes).
     """
     s_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -128,8 +132,30 @@ def _p_and_ds(
     dp_t = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds_t = p_t * (dp_t - di_row) * sm_scale
-    return p_t, ds_t
+    if mscale_t is not None:
+        pv_t = p_t * mscale_t
+        ds_t = p_t * (dp_t * mscale_t - di_row) * sm_scale
+    else:
+        pv_t = p_t
+        ds_t = p_t * (dp_t - di_row) * sm_scale
+    return pv_t, ds_t
+
+
+def _dropout_mscale_t(
+    seed_ref, ki, qi, *, block_q, block_kv, kv_true_len, dropout_rate
+):
+    """Transposed-layout (block_kv, block_q) keep/(1-rate) tile from the
+    positional hash — byte-identical to the forward kernel's mask."""
+    cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
+        + ki * block_kv
+    )
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1)
+        + qi * block_q
+    )
+    keep = dropout_keep(seed_ref[0], rows, cols, kv_true_len, dropout_rate)
+    return jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
 
 
 def _dkv_kernel(
@@ -139,11 +165,7 @@ def _dkv_kernel(
     do_ref,
     lse_ref,
     di_ref,
-    dk_ref,
-    dv_ref,
-    dk_scratch,
-    dv_scratch,
-    *,
+    *rest,
     sm_scale: float,
     causal: bool,
     q_true_len: int,
@@ -153,7 +175,13 @@ def _dkv_kernel(
     num_q_blocks: int,
     kv_blocks_total: int,
     window,
+    dropout_rate: float = 0.0,
 ):
+    if dropout_rate > 0.0:
+        seed_ref, dk_ref, dv_ref, dk_scratch, dv_scratch = rest
+    else:
+        seed_ref = None
+        dk_ref, dv_ref, dk_scratch, dv_scratch = rest
     ki = pl.program_id(2)
     qi = pl.program_id(3)
 
@@ -184,8 +212,17 @@ def _dkv_kernel(
         do = do_ref[0, 0]
         lse_row = lse_ref[0, 0]  # (1, block_q) fp32
         di_row = di_ref[0, 0]
+        mscale_t = (
+            _dropout_mscale_t(
+                seed_ref, ki, qi, block_q=block_q, block_kv=block_kv,
+                kv_true_len=kv_true_len, dropout_rate=dropout_rate,
+            )
+            if dropout_rate > 0.0
+            else None
+        )
         p_t, ds_t = _p_and_ds(
-            q, k, v, do, lse_row, di_row, valid, sm_scale=sm_scale
+            q, k, v, do, lse_row, di_row, valid, sm_scale=sm_scale,
+            mscale_t=mscale_t,
         )
         dv_scratch[:] += jax.lax.dot(
             p_t.astype(do.dtype), do, preferred_element_type=jnp.float32
@@ -207,9 +244,7 @@ def _dq_kernel(
     do_ref,
     lse_ref,
     di_ref,
-    dq_ref,
-    dq_scratch,
-    *,
+    *rest,
     sm_scale: float,
     causal: bool,
     q_true_len: int,
@@ -218,7 +253,13 @@ def _dq_kernel(
     block_kv: int,
     num_kv_blocks: int,
     window,
+    dropout_rate: float = 0.0,
 ):
+    if dropout_rate > 0.0:
+        seed_ref, dq_ref, dq_scratch = rest
+    else:
+        seed_ref = None
+        dq_ref, dq_scratch = rest
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -248,8 +289,17 @@ def _dq_kernel(
         do = do_ref[0, 0]
         lse_row = lse_ref[0, 0]
         di_row = di_ref[0, 0]
+        mscale_t = (
+            _dropout_mscale_t(
+                seed_ref, ki, qi, block_q=block_q, block_kv=block_kv,
+                kv_true_len=kv_true_len, dropout_rate=dropout_rate,
+            )
+            if dropout_rate > 0.0
+            else None
+        )
         _, ds_t = _p_and_ds(
-            q, k, v, do, lse_row, di_row, valid, sm_scale=sm_scale
+            q, k, v, do, lse_row, di_row, valid, sm_scale=sm_scale,
+            mscale_t=mscale_t,
         )
         # ds_tᵀ · K, expressed as a dim-0/dim-0 contraction — no explicit
         # transpose materializes.
@@ -279,6 +329,8 @@ def flash_attention_bwd_pallas(
     block_kv: Optional[int] = None,
     interpret: bool = False,
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # (1,) int32
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Flash-attention backward via two Pallas kernels.
 
@@ -353,6 +405,13 @@ def flash_attention_bwd_pallas(
         lambda b_, h_, i, j: (b_, h_, 0, q_block_index(i, j)),
     )
 
+    has_drop = dropout_rate > 0.0
+    seed_inputs = []
+    seed_specs = []
+    if has_drop:
+        seed_inputs = [dropout_seed.astype(jnp.int32).reshape(1)]
+        seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+
     dkv_kernel = functools.partial(
         _dkv_kernel,
         sm_scale=sm_scale,
@@ -364,11 +423,13 @@ def flash_attention_bwd_pallas(
         num_q_blocks=num_q_blocks,
         kv_blocks_total=num_kv_blocks,
         window=window,
+        dropout_rate=dropout_rate,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(b, h, num_kv_blocks, num_q_blocks),
-        in_specs=[qspec, kvspec_dkv, kvspec_dkv, qspec, rowspec, rowspec],
+        in_specs=[qspec, kvspec_dkv, kvspec_dkv, qspec, rowspec, rowspec]
+        + seed_specs,
         out_specs=(
             pl.BlockSpec(
                 (1, 1, block_kv, d_p), lambda b_, h_, i, j: (b_, h_, i, 0)
@@ -389,7 +450,7 @@ def flash_attention_bwd_pallas(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, dip)
+    )(qp, kp, vp, dop, lsep, dip, *seed_inputs)
 
     if causal and window is None:
         # dq grid (q-major, kv innermost): skipped steps are the trailing
@@ -424,6 +485,7 @@ def flash_attention_bwd_pallas(
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
         window=window,
+        dropout_rate=dropout_rate,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -435,7 +497,8 @@ def flash_attention_bwd_pallas(
             qspec_dq,
             rowspec_dq,
             rowspec_dq,
-        ],
+        ]
+        + seed_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d_p), lambda b_, h_, i, j: (b_, h_, i, 0)
         ),
@@ -445,7 +508,7 @@ def flash_attention_bwd_pallas(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, dip)
+    )(qp, kp, vp, dop, lsep, dip, *seed_inputs)
 
     return (
         dq[:, :, :sq, :d],

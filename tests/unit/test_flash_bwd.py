@@ -131,3 +131,37 @@ def test_fully_masked_rows_produce_finite_grads(rng):
     )
     for name, a in zip("qkv", got):
         assert bool(jnp.all(jnp.isfinite(a))), f"d{name} not finite"
+
+
+@pytest.mark.parametrize("bq", [128, 256])
+def test_pallas_bwd_dropout_matches_xla_bwd(rng, bq):
+    """Attention-dropout masks regenerate identically in both backwards
+    (positional hash — block-size independent)."""
+    from photonic_flash_attention_tpu.ops.flash import _flash_core_fwd_impl
+
+    b, s, h, d = 1, 256, 2, 64
+    rate, seed = 0.25, 77
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    o, lse = _flash_core_fwd_impl(
+        q, k, v, d ** -0.5, True, 128, 128, True,
+        save_residuals=True, dropout_rate=rate, dropout_seed=seed_arr,
+    )
+    do = jnp.asarray(rng.standard_normal(o.shape), jnp.float32)
+    ref = _flash_bwd(
+        q, k, v, o, lse, do, sm_scale=d ** -0.5, causal=True,
+        q_true_len=s, kv_true_len=s, block_kv=128,
+        dropout_rate=rate, dropout_seed=seed_arr,
+    )[:3]
+    got = flash_attention_bwd_pallas(
+        q, k, v, o, lse, do, sm_scale=d ** -0.5, causal=True,
+        block_q=bq, block_kv=128, interpret=True,
+        dropout_rate=rate, dropout_seed=seed_arr,
+    )
+    for name, a, e in zip("qkv", got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
