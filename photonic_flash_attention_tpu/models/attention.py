@@ -105,22 +105,32 @@ def dispatch_attention(
             mask = keep[:, None, None, :]
         if dropout_rate > 0.0:
             # Attention-prob dropout on the fused path: materialize the
-            # weights, apply the SAME positional mask the flash kernel
-            # uses (pallas_utils.dropout_keep) so both paths produce
-            # identical samples for a given seed, and recombine with V.
+            # weights ONLY (no discarded P.V pass), apply the SAME
+            # positional mask the flash kernel uses
+            # (pallas_utils.dropout_keep) — including the per-(batch,
+            # head) fold so masks are i.i.d. across B and H — and
+            # recombine with V. Returns the POST-dropout weights, matching
+            # the reference (its nn.Dropout output is what callers see,
+            # reference core/flash_attention_3.py:174-175).
             from ..ops.pallas_utils import dropout_keep
 
             _, w = fused_attention(
                 q, k, v, mask, bias=bias, causal=causal,
-                sm_scale=sm_scale, need_weights=True,
+                sm_scale=sm_scale, need_weights=True, weights_only=True,
             )
             sq_, skv_ = q.shape[1], k.shape[1]
+            b_, hq_ = q.shape[0], q.shape[2]
             rows = jnp.arange(sq_, dtype=jnp.int32)[:, None]
             cols = jnp.arange(skv_, dtype=jnp.int32)[None, :]
+            bh = (
+                jnp.arange(b_, dtype=jnp.int32)[:, None] * hq_
+                + jnp.arange(hq_, dtype=jnp.int32)[None, :]
+            )[:, :, None, None]
             keep = dropout_keep(
-                dropout_seed.reshape(()), rows, cols, skv_, dropout_rate
+                dropout_seed.reshape(()), rows[None, None], cols[None, None],
+                skv_, dropout_rate, bh=bh,
             )
-            wd = jnp.where(keep[None, None], w, 0.0) / (1.0 - dropout_rate)
+            wd = jnp.where(keep, w, 0.0) / (1.0 - dropout_rate)
             vv = v
             group = q.shape[2] // v.shape[2]
             if group > 1:
@@ -128,7 +138,7 @@ def dispatch_attention(
             out = jnp.einsum(
                 "bhqk,bkhd->bqhd", wd, vv.astype(jnp.float32)
             ).astype(q.dtype)
-            return out, (w if need_weights else None)
+            return out, (wd if need_weights else None)
         return fused_attention(
             q,
             k,

@@ -78,6 +78,8 @@ def _flash_fwd_kernel(
     kbias_ref=None,  # (1, 1, block_kv) VMEM per-key additive bias tile
     scale_ref=None,  # (1,) SMEM runtime score scale (int8-QK dequant)
     seed_ref=None,  # (1,) SMEM dropout seed (attention-prob dropout)
+    vs_ref=None,  # (1, 1, 1, d) VMEM per-column V dequant scales (pv_quant)
+    pv_quant: bool = False,  # int8 P·V: V is int8, P requants via exp-fold
     dropout_rate: float = 0.0,
     rel: Tuple[str, bool, int, int] = _NO_REL,
     window: Optional[Tuple[Optional[int], Optional[int], str]] = None,
@@ -171,7 +173,8 @@ def _flash_fwd_kernel(
     import numpy as _np
 
     int_qk = jnp.issubdtype(q_ref.dtype, jnp.integer)
-    fold_scale = not int_qk and (
+    fp8_qk = q_ref.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+    fold_scale = not int_qk and not fp8_qk and (
         q_ref.dtype == jnp.float32
         or float(
             _np.float32(_np.asarray(sm_scale).astype(ml_dtypes.bfloat16))
@@ -335,7 +338,16 @@ def _flash_fwd_kernel(
         m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # the one lane-broadcast
         rep = block_kv // NUM_LANES
-        p = jnp.exp(s - (m_next if rep == 1 else jnp.tile(m_next, (1, rep))))
+        m_wide = m_next if rep == 1 else jnp.tile(m_next, (1, rep))
+        if pv_quant:
+            # int8 P·V with a STATIC P scale of 127, for free: fold
+            # ln(127) into the exp argument so p comes out already scaled
+            # to [0, 127] (p_scaled = 127 * softmax numerator). l then
+            # tracks 127*l_true, and the final o = acc/l cancels the
+            # factor exactly — zero extra VPU passes versus bf16.
+            p = jnp.exp(s - m_wide + jnp.float32(4.8441870864585885))
+        else:
+            p = jnp.exp(s - m_wide)
         alpha = jnp.exp(m_prev - m_next)  # [block_q, 128]
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
@@ -359,14 +371,24 @@ def _flash_fwd_kernel(
                 + ki * block_kv
             )
             keep = dropout_keep(
-                seed_ref[0], rows_g, cols_g, kv_true_len, dropout_rate
+                seed_ref[0], rows_g, cols_g, kv_true_len, dropout_rate,
+                bh=bb * pl.num_programs(1) + hh,
             )
             p_use = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
         else:
             p_use = p
-        pv = jax.lax.dot(
-            p_use.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+        if pv_quant:
+            # p_use is in [0, 127]; +0.5 then truncate = round-to-nearest
+            # (127.5 truncates back to 127). Contraction runs on the int8
+            # MXU path; per-column V dequant waits until the final store.
+            p8 = (p_use + jnp.float32(0.5)).astype(jnp.int8)
+            pv = jax.lax.dot(
+                p8, v, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+        else:
+            pv = jax.lax.dot(
+                p_use.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
         d_ = acc_scratch.shape[-1]
         alpha_d = alpha[:, :d_] if d_ <= NUM_LANES else jnp.tile(
             alpha, (1, d_ // NUM_LANES)
@@ -382,10 +404,16 @@ def _flash_fwd_kernel(
         l_inv_d = l_inv[:, :d_] if d_ <= NUM_LANES else jnp.tile(
             l_inv, (1, d_ // NUM_LANES)
         )
-        o_ref[0, 0] = (acc_scratch[:] * l_inv_d).astype(o_ref.dtype)
+        out = acc_scratch[:] * l_inv_d
+        if pv_quant and vs_ref is not None:
+            out = out * vs_ref[0, 0]  # (1, d) per-column V dequant
+        o_ref[0, 0] = out.astype(o_ref.dtype)
         if lse_ref is not None:
             # logsumexp for backward/merging; fully-masked rows -> -inf.
             lse = m_scratch[:] + jnp.log(jnp.where(l_fin == 0.0, 1.0, l_fin))
+            if pv_quant:
+                # l carries the folded 127 factor (see exp above).
+                lse = lse - jnp.float32(4.8441870864585885)
             lse_ref[0, 0] = lse
 
 
@@ -414,7 +442,11 @@ def _flash_fwd(
     out_dtype=None,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,  # (1,) int32
+    v_scales: Optional[jax.Array] = None,  # (B, Hkv, 1, D) per-col V scales
+    pv_quant: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    if pv_quant:
+        assert dropout_rate == 0.0, "int8 P·V path is inference-only"
     b, h, sq, d = q.shape
     skv = k.shape[2]
     num_q_blocks = sq // block_q
@@ -474,7 +506,8 @@ def _flash_fwd(
     has_kbias = k_bias is not None
     has_scale = score_scale is not None
     has_seed = dropout_rate > 0.0
-    if has_tab or has_lens or has_kbias or has_scale or has_seed:
+    has_vs = v_scales is not None
+    if has_tab or has_lens or has_kbias or has_scale or has_seed or has_vs:
         # Peel the optional inputs (ordered tab, lens, kbias after q/k/v)
         # off the positional argument list into keywords.
         inner = kernel_fn
@@ -497,6 +530,9 @@ def _flash_fwd(
             if has_seed:
                 opt["seed_ref"] = rest[idx]
                 idx += 1
+            if has_vs:
+                opt["vs_ref"] = rest[idx]
+                idx += 1
             return inner(q_ref, k_ref, v_ref, *rest[idx:], **opt, **kw)
 
     kernel = functools.partial(
@@ -514,6 +550,7 @@ def _flash_fwd(
         kv_blocks_total=kv_blocks_total,
         causal_mode=causal_mode,
         dropout_rate=dropout_rate,
+        pv_quant=pv_quant,
     )
 
     if band_c is None:
@@ -594,6 +631,14 @@ def _flash_fwd(
     if has_seed:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(dropout_seed.astype(jnp.int32).reshape(1))
+    if has_vs:
+        # Per-column V dequant scales, one (1, D) row per kv head.
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, d), lambda b_, h_, qi, ki: (b_, h_ // group, 0, 0)
+            )
+        )
+        inputs.append(v_scales.astype(jnp.float32))
 
     outs = pl.pallas_call(
         kernel,
@@ -723,12 +768,15 @@ def _flash_bwd(
             # Regenerate the forward's positional dropout mask; it scales
             # the P.V path only (di = <o, do> already reflects it).
             qrow = jax.lax.broadcasted_iota(jnp.int32, (sq, block_kv), 0)
+            bh_idx = (
+                jnp.arange(b, dtype=jnp.int32)[:, None] * h
+                + jnp.arange(h, dtype=jnp.int32)[None, :]
+            )[:, :, None, None]
             keep = dropout_keep(
-                dropout_seed.reshape(()), qrow, col, kv_true_len, dropout_rate
+                dropout_seed.reshape(()), qrow[None, None], col[None, None],
+                kv_true_len, dropout_rate, bh=bh_idx,
             )
-            mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)[
-                None, None
-            ]
+            mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
             dv_blk = jnp.einsum("bhqk,bhqd->bhkd", p * mscale, dof)
             dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_blk) * mscale
         else:
@@ -861,6 +909,7 @@ def _flash_core_fwd_impl(
     kv_lens=None, k_bias=None, causal_mode="full",
     score_scale=None, out_dtype=None,
     dropout_rate=0.0, dropout_seed=None,
+    v_scales=None, pv_quant=False,
 ):
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -879,6 +928,12 @@ def _flash_core_fwd_impl(
         k_bias = kb[:, None, :]
     if kv_lens is not None:
         kv_lens = kv_lens.astype(jnp.int32)
+    if v_scales is not None:
+        # (B, Hkv, D) per-column scales -> padded (B, Hkv, 1, D_p); the
+        # zero-padded columns stay zero through the dequant multiply.
+        v_scales = jnp.pad(
+            v_scales.astype(jnp.float32), ((0, 0), (0, 0), (0, d_p - d))
+        )[:, :, None, :]
     o, lse = _flash_fwd(
         qp,
         kp,
@@ -903,6 +958,8 @@ def _flash_core_fwd_impl(
         out_dtype=out_dtype,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
+        v_scales=v_scales,
+        pv_quant=pv_quant,
     )
     return o[:, :, :sq, :d], (lse[:, :, :sq] if lse is not None else None)
 

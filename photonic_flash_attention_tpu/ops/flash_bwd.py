@@ -142,10 +142,14 @@ def _p_and_ds(
 
 
 def _dropout_mscale_t(
-    seed_ref, ki, qi, *, block_q, block_kv, kv_true_len, dropout_rate
+    seed_ref, ki, qi, bh, *, block_q, block_kv, kv_true_len, dropout_rate
 ):
     """Transposed-layout (block_kv, block_q) keep/(1-rate) tile from the
-    positional hash — byte-identical to the forward kernel's mask."""
+    positional hash — byte-identical to the forward kernel's mask.
+
+    ``bh`` is the flattened (batch, head) grid index (hoisted by the
+    caller — pl.program_id inside a pl.when body breaks the CPU
+    interpreter) so masks are i.i.d. per batch element and head."""
     cols = (
         jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
         + ki * block_kv
@@ -154,7 +158,9 @@ def _dropout_mscale_t(
         jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1)
         + qi * block_q
     )
-    keep = dropout_keep(seed_ref[0], rows, cols, kv_true_len, dropout_rate)
+    keep = dropout_keep(
+        seed_ref[0], rows, cols, kv_true_len, dropout_rate, bh=bh
+    )
     return jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
 
 
@@ -184,6 +190,8 @@ def _dkv_kernel(
         dk_ref, dv_ref, dk_scratch, dv_scratch = rest
     ki = pl.program_id(2)
     qi = pl.program_id(3)
+    # Hoisted (see _dropout_mscale_t): flattened (batch, head) index.
+    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(qi == 0)
     def _init():
@@ -214,7 +222,7 @@ def _dkv_kernel(
         di_row = di_ref[0, 0]
         mscale_t = (
             _dropout_mscale_t(
-                seed_ref, ki, qi, block_q=block_q, block_kv=block_kv,
+                seed_ref, ki, qi, bh, block_q=block_q, block_kv=block_kv,
                 kv_true_len=kv_true_len, dropout_rate=dropout_rate,
             )
             if dropout_rate > 0.0
@@ -262,6 +270,8 @@ def _dq_kernel(
         dq_ref, dq_scratch = rest
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    # Hoisted (see _dropout_mscale_t): flattened (batch, head) index.
+    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(ki == 0)
     def _init():
@@ -291,7 +301,7 @@ def _dq_kernel(
         di_row = di_ref[0, 0]
         mscale_t = (
             _dropout_mscale_t(
-                seed_ref, ki, qi, block_q=block_q, block_kv=block_kv,
+                seed_ref, ki, qi, bh, block_q=block_q, block_kv=block_kv,
                 kv_true_len=kv_true_len, dropout_rate=dropout_rate,
             )
             if dropout_rate > 0.0

@@ -375,6 +375,151 @@ def flash_attention_int8qk(
         interp,
         save_residuals=False,
         score_scale=score_scale,
-        out_dtype=v.dtype,
+        out_dtype=vt.dtype,
+    )
+    return o.transpose(0, 2, 1, 3)
+
+
+def _per_tensor_quant(x: jax.Array, qdtype, qmax: float):
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    s = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
+    scaled = x.astype(jnp.float32) / s
+    if qdtype == jnp.int8:
+        payload = jnp.clip(jnp.round(scaled), -qmax, qmax).astype(jnp.int8)
+    else:
+        payload = jnp.clip(scaled, -qmax, qmax).astype(qdtype)
+    return payload, s
+
+
+def flash_attention_fp8qk(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """FP8-QK flash attention (inference only).
+
+    The per-tensor-scale trick from :func:`flash_attention_int8qk`
+    applied to FP8 e4m3: Q and K carry ONE scale each, folded with the
+    softmax scale into a single SMEM scalar — zero per-element dequant
+    work in the kernel (the round-3 FP8 kernel's per-128-row-block
+    scales + P requant made it the slowest path in the registry,
+    BENCH_r03). P·V stays bf16. NOTE v5e has no native FP8 MXU path
+    (int8 only), so the QK matmul runs at the bf16 rate after an
+    in-kernel convert — this kernel trades that convert for halved Q/K
+    HBM traffic; see docs/kernels.md for the measured outcome.
+
+    Reference pairing: quantize-at-the-modulator
+    (photonic/optical_kernels/matrix_mult.py:161-276); north star "FP8
+    flash prefill" (BASELINE.md).
+    """
+    from .flash import _check_blocks, _flash_core_fwd_impl
+
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if hq % hkv:
+        raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
+    _check_blocks(block_q, block_kv)
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    interp = resolve_interpret(interpret)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if vt.dtype not in (jnp.bfloat16, jnp.float32):
+        vt = vt.astype(jnp.bfloat16)
+
+    q8, qs = _per_tensor_quant(qt, jnp.float8_e4m3fn, 448.0)
+    k8, ks = _per_tensor_quant(kt, jnp.float8_e4m3fn, 448.0)
+    score_scale = (qs * ks * scale).reshape(1).astype(jnp.float32)
+
+    o, _ = _flash_core_fwd_impl(
+        q8,
+        k8,
+        vt,
+        1.0,
+        causal,
+        block_q,
+        block_kv,
+        interp,
+        save_residuals=False,
+        score_scale=score_scale,
+        out_dtype=vt.dtype,
+    )
+    return o.transpose(0, 2, 1, 3)
+
+
+def flash_attention_int8full(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fully-INT8 flash attention with near-zero dequant work.
+
+    Both matmuls run on the int8 MXU path (2x the bf16 rate on v5e):
+
+    * Q/K per-tensor int8 — dequant is ONE SMEM scalar on the score
+      tile (as in :func:`flash_attention_int8qk`);
+    * P·V int8 with a STATIC P scale of 127: ln(127) is folded into the
+      online-softmax exp so P emerges already scaled — requant is one
+      add + one cast, and the 127 cancels inside the o = acc/l
+      normalization (see pv_quant in ops/flash.py);
+    * V per-(head, feature-column) int8 — that scale commutes with the
+      seq contraction, so dequant is a (1, D) multiply at the final
+      store, once per q block.
+
+    This replaces the round-3 full-quant kernel's per-128-row-block
+    scales (rank-1 dequant per tile) + dynamic P requant, which measured
+    SLOWER than bf16 (BENCH_r03: 29.9 vs 49.6 TFLOP/s).
+
+    Accuracy: per-tensor Q/K keeps scores within ~1e-2 relative; P at
+    1/127 steps adds ~4e-3; comfortably inside the reference's 0.1 gate
+    (reference tests/performance/test_benchmarks.py:280).
+    """
+    from .flash import _check_blocks, _flash_core_fwd_impl
+
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if hq % hkv:
+        raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
+    _check_blocks(block_q, block_kv)
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    interp = resolve_interpret(interpret)
+    out_dtype = v.dtype if v.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    q8, qs = _per_tensor_quant(qt, jnp.int8, 127.0)
+    k8, ks = _per_tensor_quant(kt, jnp.int8, 127.0)
+    v8, vs = _col_quantize(vt, jnp.int8, 127.0)  # vs: (B, Hkv, D)
+    score_scale = (qs * ks * scale).reshape(1).astype(jnp.float32)
+
+    o, _ = _flash_core_fwd_impl(
+        q8,
+        k8,
+        v8,
+        1.0,
+        causal,
+        block_q,
+        block_kv,
+        interp,
+        save_residuals=False,
+        score_scale=score_scale,
+        out_dtype=out_dtype,
+        v_scales=vs,  # the folded 127 P scale cancels via l (see kernel)
+        pv_quant=True,
     )
     return o.transpose(0, 2, 1, 3)

@@ -28,6 +28,7 @@ def fused_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     need_weights: bool = False,
+    weights_only: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """XLA-fused O(S^2) attention; best below the flash crossover."""
     return attention_reference(
@@ -39,4 +40,5 @@ def fused_attention(
         causal=causal,
         sm_scale=sm_scale,
         need_weights=need_weights,
+        weights_only=weights_only,
     )

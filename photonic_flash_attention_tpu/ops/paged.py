@@ -830,6 +830,351 @@ def paged_decode_attention(
     return o, k_out, v_out
 
 
+def _paged_hf_kernel(
+    # scalar prefetch
+    layer_ref,  # (1,) SMEM
+    lengths_ref,  # (B,) SMEM
+    page_indices_ref,  # (B * pages_per_seq,) SMEM
+    # inputs
+    q_ref,  # (1, Hkv, G_pad, D) VMEM (int8 when int8_compute)
+    scale_ref,  # (1,) SMEM: q dequant scale x sm_scale (1.0*sm_scale float path)
+    k_pages_hbm,  # (L, Hkv, P, D, page) ANY
+    v_pages_hbm,
+    k_scales_hbm,  # (L, Hkv, P, 1, page) ANY or dummy
+    v_scales_hbm,
+    # output
+    o_ref,  # (1, Hkv, G_pad, D) VMEM
+    # scratch
+    m_scratch,  # (Hkv, G_pad, 128)
+    l_scratch,
+    acc_scratch,  # (Hkv, G_pad, D)
+    k_buf,  # (NBUF, Hkv, D, block_tokens)
+    v_buf,
+    ks_buf,  # (NBUF, Hkv, 1, block_tokens)
+    vs_buf,
+    sems,  # DMA sems (NBUF, 4): [slot][k/v/ks/vs]
+    *,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    quantized: bool,
+    int8_compute: bool,
+    num_buffers: int,
+):
+    """Head-folded, bandwidth-first paged decode kernel.
+
+    The round-3 kernel ran a (B, Hkv, blocks) grid whose per-step DMA was
+    one (D, page) slice — 8 KB at D=64/int8 — and measured 13% of HBM
+    bandwidth (BENCH_r03). This kernel restructures for bandwidth:
+
+    * heads folded into the grid step: each page DMA moves the whole
+      (Hkv, D, page) slice (Hkv x larger, e.g. 128 KB at Hkv=8, D=128),
+    * cross-sequence software pipelining: the step for (b, blk) starts
+      the DMA for the NEXT grid step — including across the b boundary —
+      so the DMA queue never drains between sequences,
+    * optional full-int8 compute: Q is per-tensor int8 (scores dequant by
+      one SMEM scalar x per-token K scales on the SMALL score tile), and
+      P·V runs int8 with a per-row dynamic P requant — so no elementwise
+      pass ever touches the big (Hkv, D, block_tokens) K/V tiles. All
+      VPU work rides (Hkv, G, T)-shaped score/P tiles, Hkv*G/D-fold
+      smaller than the payload.
+
+    Reference pairing: core/memory_manager.py pool + the decode use of
+    core/flash_attention_3.py; north star "INT8 KV-cache decode >= 90%
+    of roofline" (BASELINE.md).
+    """
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    num_blocks = pl.num_programs(1)
+    num_seqs = pl.num_programs(0)
+    lyr = layer_ref[0]
+    length = lengths_ref[b]
+    block_tokens = pages_per_block * page_size
+    step = b * num_blocks + blk
+    slot = jax.lax.rem(step, num_buffers)
+    next_slot = jax.lax.rem(step + 1, num_buffers)
+
+    def start_dma(b2, block_idx, slot_):
+        for i in range(pages_per_block):
+            flat = b2 * pages_per_seq + block_idx * pages_per_block + i
+            page_id = page_indices_ref[flat]
+            lanes = pl.ds(i * page_size, page_size)
+            pltpu.make_async_copy(
+                k_pages_hbm.at[lyr, :, page_id],  # (Hkv, D, page)
+                k_buf.at[slot_, :, :, lanes],
+                sems.at[slot_, 0],
+            ).start()
+            pltpu.make_async_copy(
+                v_pages_hbm.at[lyr, :, page_id],
+                v_buf.at[slot_, :, :, lanes],
+                sems.at[slot_, 1],
+            ).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    k_scales_hbm.at[lyr, :, page_id],  # (Hkv, 1, page)
+                    ks_buf.at[slot_, :, :, lanes],
+                    sems.at[slot_, 2],
+                ).start()
+                pltpu.make_async_copy(
+                    v_scales_hbm.at[lyr, :, page_id],
+                    vs_buf.at[slot_, :, :, lanes],
+                    sems.at[slot_, 3],
+                ).start()
+
+    def wait_dma(slot_, which):
+        lanes0 = pl.ds(0, page_size)
+        bufs = (k_buf, v_buf, ks_buf, vs_buf)
+        srcs = (k_pages_hbm, v_pages_hbm, k_scales_hbm, v_scales_hbm)
+        for _ in range(pages_per_block):
+            pltpu.make_async_copy(
+                srcs[which].at[0, :, 0],
+                bufs[which].at[slot_, :, :, lanes0],
+                sems.at[slot_, which],
+            ).wait()
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    active = blk * block_tokens < length
+
+    # Step 0 has no predecessor: start its own DMA.
+    @pl.when(jnp.logical_and(step == 0, active))
+    def _first():
+        start_dma(b, 0, slot)
+
+    # Cross-boundary prefetch: EVERY step starts the next step's DMA if
+    # that step is active (runs on inactive steps too, so the first
+    # active block of the next sequence is always in flight).
+    @pl.when(step + 1 < num_seqs * num_blocks)
+    def _prefetch():
+        last_of_seq = blk == num_blocks - 1
+        b2 = jax.lax.select(last_of_seq, b + 1, b)
+        blk2 = jax.lax.select(last_of_seq, 0, blk + 1)
+        next_active = blk2 * block_tokens < lengths_ref[b2]
+
+        @pl.when(next_active)
+        def _():
+            start_dma(b2, blk2, next_slot)
+
+    @pl.when(active)
+    def _run():
+        wait_dma(slot, 0)  # K payload
+        if quantized:
+            wait_dma(slot, 2)  # K scales
+        hkv_, g_pad, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+        if int8_compute:
+            q = q_ref[0]  # (Hkv, G_pad, D) int8
+            s = jax.lax.dot_general(
+                q, k_buf[slot], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * scale_ref[0]
+        else:
+            q = q_ref[0].astype(jnp.float32)
+            k = k_buf[slot].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale_ref[0]
+        if quantized:
+            s = s * ks_buf[slot]  # (Hkv, 1, T) per-token K scales
+
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (hkv_, g_pad, block_tokens), 2)
+            + blk * block_tokens
+        )
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:]  # (Hkv, G_pad, 128) lane-replicated
+        l_prev = l_scratch[:]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        if block_tokens <= 128:
+            m_wide = m_next[:, :, :block_tokens]
+        else:
+            m_wide = jnp.tile(m_next, (1, 1, block_tokens // 128))
+        p = jnp.exp(s - m_wide)
+        alpha = jnp.exp(m_prev - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        m_scratch[:] = m_next
+        l_scratch[:] = l_next
+
+        wait_dma(slot, 1)  # V payload
+        if quantized:
+            wait_dma(slot, 3)  # V scales
+            p = p * vs_buf[slot]  # fold per-token V scales into P
+        if int8_compute:
+            # Per-row dynamic P requant: all work on the small P tile.
+            pmax = jnp.max(p, axis=2, keepdims=True)  # (Hkv, G, 1)
+            pinv = jnp.where(pmax == 0.0, 0.0, 127.0 / pmax)
+            p8 = (p * pinv + 0.5).astype(jnp.int8)  # p>=0; <=127.5 truncates
+            pv = jax.lax.dot_general(
+                p8, v_buf[slot], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            pscale = jnp.where(pmax == 0.0, 0.0, pmax / 127.0)
+            pv = pv * pscale  # (Hkv, G, 1) lane-broadcast over D
+        else:
+            v = v_buf[slot].astype(jnp.float32)
+            pv = jax.lax.dot_general(
+                p, v, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        d_ = acc_scratch.shape[-1]
+        alpha_d = (
+            alpha[:, :, :d_] if d_ <= 128 else jnp.tile(alpha, (1, 1, d_ // 128))
+        )
+        acc_scratch[:] = acc_scratch[:] * alpha_d + pv
+
+    @pl.when(blk == num_blocks - 1)
+    def _store():
+        l_fin = l_scratch[:]
+        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        d_ = acc_scratch.shape[-1]
+        l_inv_d = (
+            l_inv[:, :, :d_] if d_ <= 128 else jnp.tile(l_inv, (1, 1, d_ // 128))
+        )
+        o_ref[0] = (acc_scratch[:] * l_inv_d).astype(o_ref.dtype)
+
+
+def paged_attention_hf(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    k_scales: Optional[jax.Array] = None,
+    v_scales: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    pages_per_block: int = 8,
+    num_buffers: int = 2,
+    int8_compute: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+    layer: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Head-folded bandwidth-first paged decode (see `_paged_hf_kernel`).
+
+    Same contract as :func:`paged_attention`. ``int8_compute`` (default:
+    on exactly when the pool is int8-quantized) additionally quantizes Q
+    per-tensor and runs both matmuls on the int8 MXU path.
+    """
+    b, hq, d = q.shape
+    rank4_in = k_pages.ndim == 4
+    if rank4_in:
+        assert layer is None
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+        if k_scales is not None:
+            k_scales = k_scales[None]
+            v_scales = v_scales[None]
+        layer = jnp.zeros((1,), jnp.int32)
+    layer = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    L, hkv, num_pages, _, page_size = k_pages.shape
+    group = hq // hkv
+    pages_per_seq = page_indices.shape[1]
+    interp = resolve_interpret(interpret)
+    if page_size % 128 and not interp:
+        raise ValueError(
+            f"paged_attention_hf on TPU requires page_size % 128 == 0, got "
+            f"{page_size}"
+        )
+    if pages_per_seq % pages_per_block:
+        pad = pages_per_block - pages_per_seq % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+        pages_per_seq += pad
+    num_blocks = pages_per_seq // pages_per_block
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    quantized = k_scales is not None
+    if int8_compute is None:
+        int8_compute = quantized and k_pages.dtype == jnp.int8
+
+    g_pad = max(8, group)
+    qg = q.reshape(b, hkv, group, d)
+    if g_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    if int8_compute:
+        absmax = jnp.max(jnp.abs(qg.astype(jnp.float32)))
+        qs = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+        qg = jnp.clip(
+            jnp.round(qg.astype(jnp.float32) / qs), -127.0, 127.0
+        ).astype(jnp.int8)
+        score_scale = (qs * scale).reshape(1).astype(jnp.float32)
+    else:
+        score_scale = jnp.full((1,), scale, jnp.float32)
+
+    kernel = functools.partial(
+        _paged_hf_kernel,
+        pages_per_block=pages_per_block,
+        pages_per_seq=pages_per_seq,
+        page_size=page_size,
+        quantized=quantized,
+        int8_compute=int8_compute,
+        num_buffers=num_buffers,
+    )
+
+    block_tokens = pages_per_block * page_size
+    sdtype = jnp.float32
+    if quantized:
+        k_scales = k_scales.reshape(L, hkv, num_pages, 1, page_size)
+        v_scales = v_scales.reshape(L, hkv, num_pages, 1, page_size)
+    dummy_scales = jnp.zeros((1, hkv, 1, 1, 128), sdtype)
+    ks_in = k_scales if quantized else dummy_scales
+    vs_in = v_scales if quantized else dummy_scales
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, num_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hkv, g_pad, d), lambda b_, blk, *refs: (b_, 0, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # score scale
+            pl.BlockSpec(memory_space=pl.ANY),  # k_pages
+            pl.BlockSpec(memory_space=pl.ANY),  # v_pages
+            pl.BlockSpec(memory_space=pl.ANY),  # k_scales
+            pl.BlockSpec(memory_space=pl.ANY),  # v_scales
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hkv, g_pad, d), lambda b_, blk, *refs: (b_, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, g_pad, 128), jnp.float32),
+            pltpu.VMEM((hkv, g_pad, 128), jnp.float32),
+            pltpu.VMEM((hkv, g_pad, d), jnp.float32),
+            pltpu.VMEM((num_buffers, hkv, d, block_tokens), k_pages.dtype),
+            pltpu.VMEM((num_buffers, hkv, d, block_tokens), v_pages.dtype),
+            pltpu.VMEM((num_buffers, hkv, 1, block_tokens), sdtype),
+            pltpu.VMEM((num_buffers, hkv, 1, block_tokens), sdtype),
+            pltpu.SemaphoreType.DMA((num_buffers, 4)),
+        ],
+    )
+
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(
+        layer,
+        lengths,
+        page_indices.reshape(-1),
+        qg,
+        score_scale,
+        k_pages,
+        v_pages,
+        ks_in,
+        vs_in,
+    )
+    return o[:, :, :group].reshape(b, hq, d)
+
+
 def _quant_token_write(x: jax.Array):
     """Per-token int8 quantization for pool writes. x: (B, H, D)."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)

@@ -37,6 +37,7 @@ def attention_reference(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     need_weights: bool = False,
+    weights_only: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Standard O(S^2)-memory attention (the oracle).
 
@@ -51,9 +52,13 @@ def attention_reference(
       causal: apply causal masking.
       sm_scale: score scale; default 1/sqrt(D).
       need_weights: also return softmax weights (B, Hq, Sq, Skv).
+      weights_only: skip the P.V recombine and return (None, weights) —
+        for callers that post-process the weights (e.g. attention-prob
+        dropout) and recombine themselves; saves the output einsum in
+        eager mode where XLA DCE can't elide it.
 
     Returns:
-      (output (B, Sq, Hq, D), weights or None)
+      (output (B, Sq, Hq, D) or None, weights or None)
     """
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
@@ -76,6 +81,8 @@ def attention_reference(
         scores = jnp.where(mask, scores, DEFAULT_MASK_VALUE)
 
     weights = jax.nn.softmax(scores, axis=-1)
+    if weights_only:
+        return None, weights
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(jnp.float32))
     out = out.astype(q.dtype)
     return (out, weights) if need_weights else (out, None)

@@ -38,8 +38,15 @@ def oracle_dropped(q, k, v, causal, rate=RATE, seed=SEED):
     _, w = attention_reference(q, k, v, causal=causal, need_weights=True)
     rows = jnp.arange(q.shape[1], dtype=jnp.int32)[:, None]
     cols = jnp.arange(s, dtype=jnp.int32)[None, :]
-    keep = dropout_keep(jnp.int32(seed), rows, cols, s, rate)
-    wd = jnp.where(keep[None, None], w, 0.0) / (1 - rate)
+    b_, hq_ = q.shape[0], q.shape[2]
+    bh = (
+        jnp.arange(b_, dtype=jnp.int32)[:, None] * hq_
+        + jnp.arange(hq_, dtype=jnp.int32)[None, :]
+    )[:, :, None, None]
+    keep = dropout_keep(
+        jnp.int32(seed), rows[None, None], cols[None, None], s, rate, bh=bh
+    )
+    wd = jnp.where(keep, w, 0.0) / (1 - rate)
     group = q.shape[2] // v.shape[2]
     vv = jnp.repeat(v, group, axis=2) if group > 1 else v
     return jnp.einsum("bhqk,bkhd->bqhd", wd, vv.astype(jnp.float32))
@@ -97,6 +104,42 @@ class TestFlashDropout:
         keep = dropout_keep(jnp.int32(7), rows, cols, 512, RATE)
         frac = 1.0 - float(jnp.mean(keep.astype(jnp.float32)))
         assert abs(frac - RATE) < 0.01
+
+    def test_masks_iid_per_batch_and_head(self, rng):
+        """The bh fold (ADVICE r3) makes masks differ across batch
+        elements and heads — the reference draws i.i.d. masks per
+        (B, H, Sq, Skv) via nn.Dropout."""
+        rows = jnp.arange(256, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(256, dtype=jnp.int32)[None, :]
+        bh = (
+            jnp.arange(2, dtype=jnp.int32)[:, None] * 4
+            + jnp.arange(4, dtype=jnp.int32)[None, :]
+        )[:, :, None, None]
+        keep = dropout_keep(
+            jnp.int32(SEED), rows[None, None], cols[None, None], 256, RATE,
+            bh=bh,
+        )
+        kn = np.asarray(keep).reshape(8, -1)
+        # every (batch, head) stream distinct, all near the target rate
+        for i in range(8):
+            assert abs(1.0 - kn[i].mean() - RATE) < 0.02
+            for j in range(i + 1, 8):
+                assert (kn[i] != kn[j]).mean() > 0.1
+
+    def test_kernel_masks_differ_across_heads(self, rng):
+        """End-to-end: two heads fed IDENTICAL q/k/v produce different
+        dropped outputs (they'd be equal if the mask ignored the head)."""
+        q1, k1, v1 = make_qkv(rng, b=1, s=256, h=1)
+        q = jnp.concatenate([q1, q1], axis=2)
+        k = jnp.concatenate([k1, k1], axis=2)
+        v = jnp.concatenate([v1, v1], axis=2)
+        o = flash_attention(
+            q, k, v, causal=True, dropout_rate=RATE, dropout_seed=SEED,
+            block_q=128, block_kv=128,
+        )
+        assert not np.allclose(
+            np.asarray(o[:, :, 0]), np.asarray(o[:, :, 1]), atol=1e-6
+        )
 
     def test_requires_seed(self, rng):
         q, k, v = make_qkv(rng, s=128)

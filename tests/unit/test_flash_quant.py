@@ -114,3 +114,86 @@ class TestInt8QK:
         q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
         o = flash_attention_int8qk(q, k, v, block_q=128, block_kv=128)
         assert o.dtype == jnp.bfloat16
+
+
+class TestFp8QK:
+    """Round-4 per-tensor-scale FP8 QK path (flash_attention_fp8qk)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_oracle_within_gate(self, rng, causal):
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_fp8qk,
+        )
+
+        q = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v, causal=causal)
+        out = flash_attention_fp8qk(
+            q, k, v, causal=causal, block_q=128, block_kv=128
+        )
+        # e4m3 has a 1/16 relative step; per-tensor scales keep the
+        # softmax scores within ~4e-2 — inside the reference's 0.1 gate
+        # and the round-4 <0.05 target.
+        assert rel_err_norm(out, ref) < 0.05
+
+    def test_gqa(self, rng):
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_fp8qk,
+        )
+
+        q = jnp.asarray(rng.standard_normal((1, 256, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        out = flash_attention_fp8qk(
+            q, k, v, causal=True, block_q=128, block_kv=128
+        )
+        assert rel_err_norm(out, ref) < 0.05
+
+
+class TestInt8Full:
+    """Round-4 fully-int8 path: per-tensor QK + exp-folded int8 P·V."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_oracle_within_gate(self, rng, causal):
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_int8full,
+        )
+
+        q = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 256, 4, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v, causal=causal)
+        out = flash_attention_int8full(
+            q, k, v, causal=causal, block_q=128, block_kv=128
+        )
+        assert rel_err_norm(out, ref) < 0.03
+
+    def test_gqa_unaligned(self, rng):
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_int8full,
+        )
+
+        q = jnp.asarray(rng.standard_normal((1, 200, 4, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 333, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 333, 2, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention_int8full(q, k, v, block_q=128, block_kv=128)
+        assert rel_err_norm(out, ref) < 0.03
+
+    def test_outlier_tokens(self, rng):
+        """Per-tensor scales under a 30x outlier token: the softmax is
+        shift-invariant so score error stays bounded; check the gate."""
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_int8full,
+        )
+
+        q = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        k = np.asarray(rng.standard_normal((1, 256, 2, 64)), np.float32)
+        k[0, 17] *= 30.0
+        k = jnp.asarray(k)
+        v = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        ref, _ = attention_reference(q, k, v)
+        out = flash_attention_int8full(q, k, v, block_q=128, block_kv=128)
+        assert rel_err_norm(out, ref) < 0.1  # the reference gate

@@ -189,3 +189,68 @@ class TestLayerIndexedPools:
             got[:, pid0, :, off0],
             np.asarray(cache.k_pages).astype(np.float32)[:, pid0, :, off0],
         ) or quant is False and np.allclose(np.asarray(k_new[0]).T, 0)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8], ids=["f32", "int8"])
+class TestPagedHeadFolded:
+    """Round-4 bandwidth-first head-folded kernel (paged_attention_hf)."""
+
+    def test_matches_oracle(self, rng, dtype):
+        from photonic_flash_attention_tpu.ops.paged import paged_attention_hf
+
+        cache, q, lengths, tables, ref = build_cache_and_oracle(
+            rng, [40, 17, 128, 3], dtype=dtype
+        )
+        out = paged_attention_hf(
+            q, cache.k_pages, cache.v_pages, lengths, tables,
+            cache.k_scales, cache.v_scales, pages_per_block=2,
+        )
+        assert out.shape == q.shape
+        assert rel_err_norm(out, ref) < 2e-2
+
+    def test_int8_compute_path(self, rng, dtype):
+        from photonic_flash_attention_tpu.ops.paged import paged_attention_hf
+
+        cache, q, lengths, tables, ref = build_cache_and_oracle(
+            rng, [64, 33], dtype=dtype
+        )
+        out = paged_attention_hf(
+            q, cache.k_pages, cache.v_pages, lengths, tables,
+            cache.k_scales, cache.v_scales, pages_per_block=2,
+            int8_compute=(dtype == jnp.int8),
+        )
+        # per-tensor q quant + per-row int8 P requant: looser than the
+        # float-compute path but inside the reference's 0.1 gate.
+        assert rel_err_norm(out, ref) < (3e-2 if dtype == jnp.int8 else 2e-2)
+
+    def test_gqa_and_empty_slot(self, rng, dtype):
+        from photonic_flash_attention_tpu.ops.paged import paged_attention_hf
+
+        cache, q, lengths, tables, ref = build_cache_and_oracle(
+            rng, [40, 17], dtype=dtype, hq=4
+        )
+        # Append an EMPTY serving slot (length 0, trash page table row):
+        # its output is unspecified but must not corrupt other rows.
+        lengths = jnp.concatenate([lengths, jnp.zeros((1,), jnp.int32)])
+        tables = jnp.concatenate([tables, jnp.zeros_like(tables[:1])])
+        q = jnp.concatenate([q, q[:1]])
+        out = paged_attention_hf(
+            q, cache.k_pages, cache.v_pages, lengths, tables,
+            cache.k_scales, cache.v_scales, pages_per_block=2,
+        )
+        assert rel_err_norm(out[:2], ref) < 2e-2
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_cross_sequence_pipelining_num_buffers(self, rng, dtype):
+        from photonic_flash_attention_tpu.ops.paged import paged_attention_hf
+
+        cache, q, lengths, tables, ref = build_cache_and_oracle(
+            rng, [128, 128, 96], dtype=dtype
+        )
+        for nbuf in (2, 3):
+            out = paged_attention_hf(
+                q, cache.k_pages, cache.v_pages, lengths, tables,
+                cache.k_scales, cache.v_scales, pages_per_block=2,
+                num_buffers=nbuf,
+            )
+            assert rel_err_norm(out, ref) < 2e-2, nbuf
