@@ -31,7 +31,9 @@ def __getattr__(name):
     if name in (
         "flash_attention",
         "flash_attention_fp8",
+        "flash_attention_fp8qk",
         "flash_attention_int8",
+        "flash_attention_int8full",
         "flash_attention_int8qk",
         "flash_attention_quant",
         "fused_attention",

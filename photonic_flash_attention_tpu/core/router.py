@@ -42,10 +42,13 @@ class KernelKind(str, enum.Enum):
 
     FUSED = "fused"  # XLA-fused O(S^2), short sequences
     FLASH = "flash"  # Pallas tiled online-softmax, bf16
-    FLASH_FP8 = "flash_fp8"  # Pallas flash with fp8 block-quantized QK/PV
-    FLASH_INT8QK = "flash_int8qk"  # int8 score matmul, bf16 P.V (fastest)
+    FLASH_FP8 = "flash_fp8"  # fp8 with per-128-row-block scales (accurate)
+    FLASH_FP8QK = "flash_fp8qk"  # fp8 QK, per-tensor scales, bf16 P.V
+    FLASH_INT8QK = "flash_int8qk"  # int8 score matmul, bf16 P.V
+    FLASH_INT8FULL = "flash_int8full"  # int8 QK + exp-folded int8 P.V
     PAGED_DECODE = "paged_decode"  # paged KV-cache decode kernel
-    RING = "ring"  # sequence-parallel ring attention
+    RING = "ring"  # sequence-parallel ring attention (KV rotation)
+    ULYSSES = "ulysses"  # sequence-parallel all-to-all head re-shard
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,8 +176,10 @@ class AdaptiveRouter:
                 continue  # key-padding rides flash/paged via kv_lens (+k_bias)
             if kind == KernelKind.PAGED_DECODE and not w.is_decode:
                 continue
-            if kind == KernelKind.RING and (w.is_decode or w.mask_kind != "none"):
-                continue  # ring shards the full sequence; no mask plumbing yet
+            if kind in (KernelKind.RING, KernelKind.ULYSSES) and (
+                w.is_decode or w.mask_kind != "none"
+            ):
+                continue  # seq-parallel kernels: no mask plumbing yet
             out.append(kind)
         return out or [KernelKind.FUSED]
 
@@ -191,11 +196,21 @@ class AdaptiveRouter:
         cfg = get_config()
         if w.is_decode and KernelKind.PAGED_DECODE in eligible:
             return KernelKind.PAGED_DECODE
-        if max(w.q_len, w.kv_len) >= cfg.ring_threshold and KernelKind.RING in eligible:
-            return KernelKind.RING
+        if max(w.q_len, w.kv_len) >= cfg.ring_threshold:
+            # Ring keeps the sequence sharded (memory-safe at any S);
+            # Ulysses needs the full sequence per device but gets
+            # full-locality flash — the measured tables arbitrate when
+            # both are offered (SURVEY §2.5: "Ulysses when heads >=
+            # chips"), the heuristic defaults to the memory-safe choice.
+            if KernelKind.RING in eligible:
+                return KernelKind.RING
+            if KernelKind.ULYSSES in eligible:
+                return KernelKind.ULYSSES
         if max(w.q_len, w.kv_len) >= cfg.flash_threshold:
             for kind in (
+                KernelKind.FLASH_INT8FULL,
                 KernelKind.FLASH_INT8QK,
+                KernelKind.FLASH_FP8QK,
                 KernelKind.FLASH_FP8,
                 KernelKind.FLASH,
             ):
@@ -284,6 +299,16 @@ class AdaptiveRouter:
             if ema is None or ema.count < self.MIN_SAMPLES_PER_BUCKET:
                 return True
             return (time.time() - ema.updated_at) > self.MEASUREMENT_MAX_AGE_S
+
+    def has_measurement(
+        self, kernel: KernelKind, w: WorkloadCharacteristics
+    ) -> bool:
+        """True if (kernel, bucket) has an honest measurement, fresh OR
+        stale — a stale table is still servable while an off-thread
+        refresh runs (see AttentionEngine._refresh_async)."""
+        with self._lock:
+            ema = self._latency[kernel].get(w.bucket())
+            return ema is not None and ema.count >= self.MIN_SAMPLES_PER_BUCKET
 
     def record_measurement(
         self, kernel: KernelKind, w: WorkloadCharacteristics, latency_ms: float

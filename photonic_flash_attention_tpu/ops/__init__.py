@@ -3,7 +3,9 @@
 from .flash import flash_attention
 from .flash_fp8 import (
     flash_attention_fp8,
+    flash_attention_fp8qk,
     flash_attention_int8,
+    flash_attention_int8full,
     flash_attention_int8qk,
     flash_attention_quant,
 )
@@ -41,7 +43,9 @@ __all__ = [
     "dequantize",
     "flash_attention",
     "flash_attention_fp8",
+    "flash_attention_fp8qk",
     "flash_attention_int8",
+    "flash_attention_int8full",
     "flash_attention_int8qk",
     "flash_attention_quant",
     "fused_attention",

@@ -1,12 +1,21 @@
-"""Measured-HBM-bandwidth calibration kernel.
+"""Measured-HBM-bandwidth calibration kernels.
 
-A trivial Pallas grid copy (HBM -> VMEM -> HBM) used as the memory-rate
-analogue of bench.py's XLA-matmul compute calibration: decode is
-memory-bound, so its honest roofline is the bandwidth THIS chip actually
-achieves on a plain stream, not the datasheet number. A pure-XLA
-elementwise loop cannot serve here — XLA folds/elides chained trivial
-scan bodies (measured 0.000 ms for a 256 MB stream on v5e) — while an
-opaque kernel is always executed.
+Decode is memory-bound, so its honest roofline is the bandwidth THIS
+chip actually achieves on a plain stream — not the datasheet number.
+These kernels are the memory-rate analogue of bench.py's XLA-matmul
+compute calibration.
+
+Two hard-won methodology notes (both measured on v5e through the
+tunneled runtime, round 4):
+
+1. A pure-XLA elementwise loop cannot serve as the probe — XLA
+   folds/elides chained trivial scan bodies (measured 0.000 ms for a
+   256 MB stream). The probe must be an opaque kernel.
+2. The source array must be a jit ARGUMENT. A large array captured as
+   an HLO constant streams at roughly HALF bandwidth (356 vs 736 GB/s
+   for the identical DMA kernel on v5e) — so every bandwidth-sensitive
+   benchmark in this repo threads its big arrays through the jit
+   boundary explicitly.
 
 Reference pairing: the reference models bandwidth analytically in its
 interconnect simulator (photonic/optical_kernels/interconnect.py); here
@@ -24,7 +33,60 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_utils import resolve_interpret
 
-_BLOCK_ROWS = 2048  # x 512 lanes x 2B = 2 MB per tile
+_CHUNK_ROWS = 2048  # x 512 lanes x 2B = 2 MB per DMA
+
+
+def _read_kernel(x_hbm, o_ref, buf, sems, *, num_chunks: int):
+    """Stream the whole array HBM->VMEM with double-buffered DMA; the
+    tiny output write defeats dead-code elimination."""
+
+    def get(i, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * _CHUNK_ROWS, _CHUNK_ROWS), :],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    get(0, 0).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < num_chunks)
+        def _():
+            get(i + 1, nxt).start()
+
+        get(i, slot).wait()
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, body, 0)
+    o_ref[:] = buf[0, :8]
+
+
+def hbm_read_probe(x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
+    """Read every byte of ``x`` ((rows, 512), rows % 2048 == 0); returns
+    an (8, 512) slice so callers can force completion cheaply.
+
+    Pass ``x`` as a jit argument (see module docstring note 2).
+    """
+    import functools
+
+    rows, cols = x.shape
+    num_chunks = rows // _CHUNK_ROWS
+    return pl.pallas_call(
+        functools.partial(_read_kernel, num_chunks=num_chunks),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((8, cols), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, cols), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, _CHUNK_ROWS, cols), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=resolve_interpret(interpret),
+    )(x)
 
 
 def _copy_kernel(x_ref, o_ref):
@@ -32,9 +94,10 @@ def _copy_kernel(x_ref, o_ref):
 
 
 def hbm_copy(x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
-    """Tiled identity copy; rows must divide by the 2 MB tile height."""
+    """Tiled identity copy (read+write stream); rows must divide by the
+    2 MB tile height. Reads N + writes N bytes."""
     rows, cols = x.shape
-    block = min(_BLOCK_ROWS, rows)
+    block = min(_CHUNK_ROWS, rows)
     return pl.pallas_call(
         _copy_kernel,
         grid=(rows // block,),

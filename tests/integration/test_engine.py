@@ -177,6 +177,56 @@ class TestFullRegistry:
         out, _ = eng(q, k, v)
         assert eng.last_kernel_used in ("flash", "fused")
 
+    def test_ulysses_selected_by_measured_router(self, rng):
+        """VERDICT r3 #6: ULYSSES is in the registry and the MEASURED
+        router picks it over ring for a heads-rich workload when its
+        table is faster."""
+        from photonic_flash_attention_tpu.core.router import (
+            KernelKind,
+            WorkloadCharacteristics,
+        )
+        from photonic_flash_attention_tpu.parallel.mesh import create_mesh
+
+        set_global_config(auto_kernel_selection=True, ring_threshold=1024)
+        mesh = create_mesh((8,), ("seq",), jax.devices()[:8])
+        router = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        eng = AttentionEngine(router=router)
+        eng.set_mesh(mesh, seq_axis="seq")
+        # heads-rich: 8 heads over 8 chips -> ulysses feasible
+        q, k, v = make_qkv(rng, b=1, s=1024, h=8, d=64)
+        w = WorkloadCharacteristics(
+            batch_size=1, q_len=1024, kv_len=1024, num_heads=8, head_dim=64,
+            causal=True, dtype="float32",
+        )
+        # Seed measured tables: ulysses fastest, everything else slower.
+        for kind, ms in [
+            (KernelKind.FUSED, 5.0),
+            (KernelKind.FLASH, 3.0),
+            (KernelKind.RING, 2.0),
+            (KernelKind.ULYSSES, 1.0),
+        ]:
+            router.record_measurement(kind, w, ms)
+        out, _ = eng(q, k, v, causal=True)
+        assert eng.last_kernel_used == "ulysses"
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_ulysses_not_offered_for_indivisible_heads(self, rng):
+        """Hq % n_seq != 0 -> ulysses infeasible; ring still offered."""
+        from photonic_flash_attention_tpu.core.router import (
+            WorkloadCharacteristics,
+        )
+        from photonic_flash_attention_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh((8,), ("seq",), jax.devices()[:8])
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        eng.set_mesh(mesh, seq_axis="seq")
+        w = WorkloadCharacteristics(
+            batch_size=1, q_len=1024, kv_len=1024, num_heads=6, head_dim=64,
+        )
+        kinds = [k.value for k in eng._available_kernels(w)]
+        assert "ulysses" not in kinds and "ring" in kinds
+
     def test_paged_decode_through_router(self, rng):
         """Decode (Sq=1) dispatches to the paged kernel via the router."""
         set_global_config(auto_kernel_selection=False)
@@ -189,18 +239,19 @@ class TestFullRegistry:
         ref, _ = attention_reference(q, k, v)
         assert_close(out, ref, rtol=2e-3, atol=2e-3)
 
-    def test_int8qk_offered_in_quant_mode(self, rng):
-        """With quantized inference enabled, the registry offers the
-        int8-QK kernel (fastest measured prefill on v5e) and routing
-        produces in-gate results."""
+    def test_int8_kernels_offered_in_quant_mode(self, rng):
+        """int8 kernels are opt-in via enable_int8/quant_mode="int8"
+        (ADVICE r3: an fp8 opt-in must not silently enable them); the
+        heuristic prefers the fully-int8 kernel and routing produces
+        in-gate results."""
         set_global_config(auto_kernel_selection=False, flash_threshold=512)
         eng = AttentionEngine(
             router=AdaptiveRouter(exploration_rate=0.0, seed=0),
-            enable_fp8=True,
+            enable_int8=True,
         )
         q, k, v = make_qkv(rng, s=1024)
         out, _ = eng(q, k, v, causal=True)
-        assert eng.last_kernel_used == "flash_int8qk"
+        assert eng.last_kernel_used == "flash_int8full"
         ref, _ = attention_reference(q, k, v, causal=True)
         err = float(
             jnp.linalg.norm((out - ref).astype(jnp.float32))
@@ -260,6 +311,40 @@ class TestHonestTiming:
         r.record_measurement(KernelKind.FLASH, w, 0.5)
         assert r.predicted_latency(KernelKind.FLASH, w) == pytest.approx(0.5)
         assert not r.needs_measurement(KernelKind.FLASH, w)
+
+    def test_stale_refresh_is_off_thread(self, rng):
+        """A STALE (but existing) measurement must not trigger an in-band
+        re-measurement (p99 spike, ADVICE r3): the call serves on the
+        stale table and a background thread refreshes it."""
+        import time as _time
+
+        from photonic_flash_attention_tpu.core.router import (
+            KernelKind,
+            WorkloadCharacteristics,
+        )
+
+        set_global_config(auto_kernel_selection=True, flash_threshold=64,
+                          flash_min_tokens=1)
+        router = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        eng = AttentionEngine(router=router)
+        q, k, v = make_qkv(rng, b=1, s=256, h=2, d=64)
+        w = WorkloadCharacteristics(
+            batch_size=1, q_len=256, kv_len=256, num_heads=2, head_dim=64,
+            causal=True, dtype="float32",
+        )
+        for kind, ms in [(KernelKind.FUSED, 5.0), (KernelKind.FLASH, 1.0)]:
+            router.record_measurement(kind, w, ms)
+        # Age the winner's measurement past the staleness horizon.
+        ema = router._latency[KernelKind.FLASH][w.bucket()]
+        ema.updated_at -= router.MEASUREMENT_MAX_AGE_S + 1
+        old_stamp = ema.updated_at
+        eng(q, k, v, causal=True)
+        assert eng.last_kernel_used == "flash"  # served on the stale table
+        # The off-thread refresh lands shortly after.
+        deadline = _time.time() + 60
+        while ema.updated_at == old_stamp and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert ema.updated_at != old_stamp, "async refresh never landed"
 
     def test_stale_measurements_retaken(self, monkeypatch):
         from photonic_flash_attention_tpu.core.router import (
