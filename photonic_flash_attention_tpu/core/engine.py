@@ -280,6 +280,35 @@ class AttentionEngine:
                     None,
                 )
 
+        elif kind == KernelKind.FLASH and mask_kind == "dense":
+
+            @jax.jit
+            def fn(q, k, v, mask=None):
+                # Arbitrary 2-D mask -> additive bias streamed as
+                # (block_q, block_kv) tiles inside the flash kernel
+                # (VERDICT r3 #5; reference applies any-shape
+                # attention_mask in its tile loop,
+                # flash_attention_3.py:150,165-175). Bias HBM traffic is
+                # B*Hb*Sq*Skv*4B vs the fused path's H-materialized
+                # score tensor.
+                m = mask
+                while m.ndim < 4:
+                    m = m[None]
+                b_, sq_, hq_ = q.shape[0], q.shape[1], q.shape[2]
+                skv_ = k.shape[1]
+                hb = 1 if m.shape[1] == 1 else hq_
+                m = jnp.broadcast_to(m, (b_, hb, sq_, skv_))
+                bias = jnp.where(m, 0.0, DEFAULT_MASK_VALUE).astype(
+                    jnp.float32
+                )
+                return (
+                    flash_attention(
+                        q, k, v, causal=causal, attn_bias=bias,
+                        block_q=block_q, block_kv=block_kv,
+                    ),
+                    None,
+                )
+
         elif kind == KernelKind.FLASH:
 
             @jax.jit

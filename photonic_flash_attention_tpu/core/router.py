@@ -166,8 +166,12 @@ class AdaptiveRouter:
         for kind in available:
             if w.need_weights and kind != KernelKind.FUSED:
                 continue  # only the fused path materializes weights
-            if w.mask_kind == "dense" and kind != KernelKind.FUSED:
-                continue  # arbitrary (Sq, Skv) masks only on the fused path
+            if w.mask_kind == "dense" and kind not in (
+                KernelKind.FUSED,
+                KernelKind.FLASH,
+            ):
+                continue  # dense (Sq, Skv) masks: fused, or flash via the
+                # in-kernel 2-D bias tile stream (ops/flash.py attn_bias)
             if w.mask_kind == "key" and kind not in (
                 KernelKind.FUSED,
                 KernelKind.FLASH,

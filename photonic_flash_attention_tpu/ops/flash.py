@@ -79,6 +79,7 @@ def _flash_fwd_kernel(
     scale_ref=None,  # (1,) SMEM runtime score scale (int8-QK dequant)
     seed_ref=None,  # (1,) SMEM dropout seed (attention-prob dropout)
     vs_ref=None,  # (1, 1, 1, d) VMEM per-column V dequant scales (pv_quant)
+    qkbias_ref=None,  # (1, 1, block_q, block_kv) VMEM dense additive bias tile
     pv_quant: bool = False,  # int8 P·V: V is int8, P requants via exp-fold
     dropout_rate: float = 0.0,
     rel: Tuple[str, bool, int, int] = _NO_REL,
@@ -269,6 +270,19 @@ def _flash_fwd_kernel(
             # over q rows is a cheap sublane-broadcast.
             s = s + kbias_ref[0]
 
+        if qkbias_ref is not None:
+            # Dense (Sq, Skv) additive bias streamed as (block_q,
+            # block_kv) HBM tiles — the generalization of k_bias that
+            # closes the last C1 parity gap: the reference applies an
+            # arbitrary-shape attention_mask inside its tile loop
+            # (reference flash_attention_3.py:150,165-175). Mask form:
+            # 0 = attend, DEFAULT_MASK_VALUE = ignore; real-valued
+            # biases ride the same stream. The tile rides the kv-block
+            # DMA schedule (incl. the causal skip-redirect), so bias
+            # traffic is Sq*Skv*4B instead of the fused path's
+            # H-materialized scores.
+            s = s + qkbias_ref[0, 0]
+
         def apply_mask(s):
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -444,6 +458,7 @@ def _flash_fwd(
     dropout_seed: Optional[jax.Array] = None,  # (1,) int32
     v_scales: Optional[jax.Array] = None,  # (B, Hkv, 1, D) per-col V scales
     pv_quant: bool = False,
+    qk_bias: Optional[jax.Array] = None,  # (B, Hb, Sq, Skv) dense bias, Hb in {1, Hq}
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     if pv_quant:
         assert dropout_rate == 0.0, "int8 P·V path is inference-only"
@@ -507,7 +522,11 @@ def _flash_fwd(
     has_scale = score_scale is not None
     has_seed = dropout_rate > 0.0
     has_vs = v_scales is not None
-    if has_tab or has_lens or has_kbias or has_scale or has_seed or has_vs:
+    has_qkbias = qk_bias is not None
+    if (
+        has_tab or has_lens or has_kbias or has_scale or has_seed or has_vs
+        or has_qkbias
+    ):
         # Peel the optional inputs (ordered tab, lens, kbias after q/k/v)
         # off the positional argument list into keywords.
         inner = kernel_fn
@@ -532,6 +551,9 @@ def _flash_fwd(
                 idx += 1
             if has_vs:
                 opt["vs_ref"] = rest[idx]
+                idx += 1
+            if has_qkbias:
+                opt["qkbias_ref"] = rest[idx]
                 idx += 1
             return inner(q_ref, k_ref, v_ref, *rest[idx:], **opt, **kw)
 
@@ -639,6 +661,22 @@ def _flash_fwd(
             )
         )
         inputs.append(v_scales.astype(jnp.float32))
+    if has_qkbias:
+        # Dense bias tiles ride the kv-tile DMA schedule (with the causal
+        # skip-redirect); heads broadcast when the bias head dim is 1.
+        hb = qk_bias.shape[1]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, block_kv),
+                lambda b_, h_, qi, ki: (
+                    b_,
+                    0 if hb == 1 else h_,
+                    qi,
+                    kv_block_index(qi, ki),
+                ),
+            )
+        )
+        inputs.append(qk_bias.astype(jnp.float32))
 
     outs = pl.pallas_call(
         kernel,
@@ -909,7 +947,7 @@ def _flash_core_fwd_impl(
     kv_lens=None, k_bias=None, causal_mode="full",
     score_scale=None, out_dtype=None,
     dropout_rate=0.0, dropout_seed=None,
-    v_scales=None, pv_quant=False,
+    v_scales=None, pv_quant=False, qk_bias=None,
 ):
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -934,6 +972,13 @@ def _flash_core_fwd_impl(
         v_scales = jnp.pad(
             v_scales.astype(jnp.float32), ((0, 0), (0, 0), (0, d_p - d))
         )[:, :, None, :]
+    if qk_bias is not None:
+        # Zero-pad: padded kv columns are masked by the static kv-pad
+        # predicate, padded q rows are sliced away below.
+        qk_bias = jnp.pad(
+            qk_bias.astype(jnp.float32),
+            ((0, 0), (0, 0), (0, sq_p - sq), (0, skv_p - skv)),
+        )
     o, lse = _flash_fwd(
         qp,
         kp,
@@ -960,6 +1005,7 @@ def _flash_core_fwd_impl(
         dropout_seed=dropout_seed,
         v_scales=v_scales,
         pv_quant=pv_quant,
+        qk_bias=qk_bias,
     )
     return o[:, :, :sq, :d], (lse[:, :, :sq] if lse is not None else None)
 
@@ -1402,6 +1448,7 @@ def flash_attention(
     window: Optional[Tuple[Optional[int], Optional[int]]] = None,
     kv_lens: Optional[jax.Array] = None,
     k_bias: Optional[jax.Array] = None,
+    attn_bias: Optional[jax.Array] = None,
     causal_split: bool = False,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
@@ -1427,6 +1474,13 @@ def flash_attention(
         non-contiguous — key-padding patterns). Differentiable, incl.
         w.r.t. the bias itself. May combine with kv_lens (lens as the
         tile-skip upper bound, bias as the exact pattern).
+      attn_bias: optional dense (B, Hb, Sq, Skv) fp32 additive score
+        bias with Hb in {1, Hq} — arbitrary 2-D masks (0 = attend,
+        DEFAULT_MASK_VALUE = ignore) or real biases, streamed as
+        (block_q, block_kv) HBM tiles inside the kernel (the reference
+        applies any-shape attention_mask inside its tile loop,
+        flash_attention_3.py:150,165-175). Inference-only (no VJP);
+        cannot combine with kv_lens/k_bias/rel_bias/window/dropout.
       rel_bias: optional structured relative-position bias
         (``T5RelBias`` or ``ALiBi``, see ops/rel_bias.py) computed
         in-kernel from iota — no dense (H, Sq, Skv) bias tensor exists
@@ -1485,6 +1539,30 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
+    if attn_bias is not None:
+        if (
+            kv_lens is not None
+            or k_bias is not None
+            or rel_bias is not None
+            or window is not None
+            or dropout_rate > 0.0
+        ):
+            raise ValueError(
+                "attn_bias cannot be combined with kv_lens/k_bias/"
+                "rel_bias/window/dropout"
+            )
+        if attn_bias.ndim != 4 or attn_bias.shape[0] != b or attn_bias.shape[
+            1
+        ] not in (1, hq) or attn_bias.shape[2:] != (sq, skv):
+            raise ValueError(
+                f"attn_bias must be (B, 1|Hq, Sq, Skv) = ({b}, 1|{hq}, "
+                f"{sq}, {skv}), got {attn_bias.shape}"
+            )
+        o, _ = _flash_core_fwd_impl(
+            qt, kt, vt, scale, causal, bq, bkv, interp,
+            save_residuals=False, qk_bias=attn_bias,
+        )
+        return o.transpose(0, 2, 1, 3)
     if kv_lens is not None or k_bias is not None:
         if rel_bias is not None or window is not None:
             raise ValueError(

@@ -100,9 +100,31 @@ def pod_mesh(
             )
         dcn[idx] = jax.process_count()
         ici[idx] = per_host
-        devices = mesh_utils.create_hybrid_device_mesh(
-            ici, dcn, devices=jax.devices()
-        )
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                ici, dcn, devices=jax.devices()
+            )
+        except ValueError:
+            # CPU multi-process runtimes have no slice_index (everything
+            # reports slice 0), which create_hybrid_device_mesh requires.
+            # Arrange manually: process-major device order with the dcn
+            # axis's cross-process component outermost, so the dcn axis
+            # still strides processes (the property that matters — the
+            # 2-process DCN test exercises exactly this path).
+            devs = np.array(
+                sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            )
+            nproc = jax.process_count()
+            rest = [s for i, s in enumerate(shapes) if i != idx]
+            tmp = devs.reshape([nproc, per_host] + rest)
+            perm, rest_axis = [], 2
+            for i in range(len(shapes)):
+                if i == idx:
+                    perm += [0, 1]
+                else:
+                    perm.append(rest_axis)
+                    rest_axis += 1
+            devices = tmp.transpose(perm).reshape(shapes)
     else:
         devices = mesh_utils.create_device_mesh(shapes, devices=jax.devices())
     return Mesh(devices, tuple(axis_names))

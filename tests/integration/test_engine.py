@@ -449,3 +449,37 @@ class TestGPT2:
         logits = jax.jit(lambda p, i: model.apply(p, i))(params, ids)
         assert logits.shape == (2, 64, cfg.vocab_size)
         assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+
+class TestDenseMaskFlashRouting:
+    """VERDICT r3 #5: genuine 2-D masks may route to FLASH via the
+    in-kernel bias tile stream instead of hard-gating to fused."""
+
+    def test_dense_mask_routes_to_flash_above_threshold(self, rng):
+        set_global_config(auto_kernel_selection=False, flash_threshold=512)
+        q, k, v = make_qkv(rng, b=1, s=1024, h=2)
+        keep = rng.random((1, 1, 1024, 1024)) > 0.3
+        keep[..., 0] = True
+        mask = jnp.asarray(keep)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        out, _ = eng(q, k, v, mask)
+        assert eng.last_kernel_used == "flash"
+        ref, _ = attention_reference(q, k, v, mask)
+        assert_close(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_dense_mask_measured_router_offers_both(self, rng):
+        from photonic_flash_attention_tpu.core.router import KernelKind
+
+        set_global_config(auto_kernel_selection=True)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        q, k, v = make_qkv(rng, b=1, s=256, h=2)
+        from photonic_flash_attention_tpu.core.router import (
+            WorkloadCharacteristics,
+        )
+
+        w = WorkloadCharacteristics(
+            batch_size=1, q_len=256, kv_len=256, num_heads=2, head_dim=64,
+            mask_kind="dense", dtype="float32",
+        )
+        kinds = eng.router.eligible_kernels(w, eng._available_kernels(w))
+        assert set(k.value for k in kinds) == {"fused", "flash"}
