@@ -26,18 +26,19 @@ MASK = -0.7 * float(np.finfo(np.float32).max)
 
 
 def _pair_kernel(
-    q_ref,  # (1, 1, 2*bq, d)
+    q_ref,  # (1, 1, n*bq, d)
     k_ref,  # (1, 1, bkv, d)
     v_ref,
-    o_ref,  # (1, 1, 2*bq, d)
-    m_s,  # (2*bq, 128)
+    o_ref,  # (1, 1, n*bq, d)
+    m_s,  # (n*bq, 128)
     l_s,
-    acc_s,  # (2*bq, d)
+    acc_s,  # (n*bq, d)
     *,
     sm_scale: float,
     bq: int,
     bkv: int,
     num_kv_blocks: int,
+    nchain: int = 2,
 ):
     qp = pl.program_id(2)
     ki = pl.program_id(3)
@@ -51,7 +52,7 @@ def _pair_kernel(
     rep = bkv // NUM_LANES
 
     def chain(i):
-        qi = qp * 2 + i
+        qi = qp * nchain + i
         should = ki * bkv <= (qi + 1) * bq - 1
 
         @pl.when(should)
@@ -84,8 +85,8 @@ def _pair_kernel(
             )
             acc_s[rows] = acc_s[rows] * alpha_d + pv
 
-    chain(0)
-    chain(1)
+    for _i in range(nchain):
+        chain(_i)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
@@ -98,41 +99,43 @@ def _pair_kernel(
         o_ref[0, 0] = (acc_s[:] * l_inv_d).astype(o_ref.dtype)
 
 
-def flash_pair(q, k, v, *, bq=512, bkv=512):
+def flash_pair(q, k, v, *, bq=512, bkv=512, nchain=2):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     scale = d ** -0.5
-    nqp = sq // (2 * bq)
+    nqp = sq // (nchain * bq)
     nkv = skv // bkv
 
     def kv_map(b_, h_, qp, ki):
         # causal skip-aware prefetch (redirect dead blocks to 0)
         return (
             b_, h_,
-            jax.lax.select(ki * bkv <= (qp * 2 + 2) * bq - 1, ki, 0), 0,
+            jax.lax.select(ki * bkv <= (qp * nchain + nchain) * bq - 1, ki, 0),
+            0,
         )
 
     o = pl.pallas_call(
         functools.partial(
-            _pair_kernel, sm_scale=scale, bq=bq, bkv=bkv, num_kv_blocks=nkv
+            _pair_kernel, sm_scale=scale, bq=bq, bkv=bkv, num_kv_blocks=nkv,
+            nchain=nchain,
         ),
         grid=(b, h, nqp, nkv),
         in_specs=[
-            pl.BlockSpec((1, 1, 2 * bq, d), lambda b_, h_, qp, ki: (b_, h_, qp, 0)),
+            pl.BlockSpec((1, 1, nchain * bq, d), lambda b_, h_, qp, ki: (b_, h_, qp, 0)),
             pl.BlockSpec((1, 1, bkv, d), kv_map),
             pl.BlockSpec((1, 1, bkv, d), kv_map),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 2 * bq, d), lambda b_, h_, qp, ki: (b_, h_, qp, 0)
+            (1, 1, nchain * bq, d), lambda b_, h_, qp, ki: (b_, h_, qp, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2 * bq, NUM_LANES), jnp.float32),
-            pltpu.VMEM((2 * bq, NUM_LANES), jnp.float32),
-            pltpu.VMEM((2 * bq, d), jnp.float32),
+            pltpu.VMEM((nchain * bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((nchain * bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((nchain * bq, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -197,19 +200,20 @@ def main():
             ), q, k, v,
         )
         print(f"B{B} S{S} baseline 512x512: {t0*1e3:.3f} ms {fl/t0/1e12:.1f} TFLOP/s", flush=True)
-        for bq, bkv in [(512, 512), (256, 512), (512, 1024)]:
+        for bq, bkv, nc in [(512, 512, 2), (512, 512, 4), (256, 512, 4),
+                            (256, 256, 4), (512, 512, 3)]:
             try:
                 t = bench(
-                    lambda q_, k_, v_, bq=bq, bkv=bkv: flash_pair(
-                        q_, k_, v_, bq=bq, bkv=bkv
+                    lambda q_, k_, v_, bq=bq, bkv=bkv, nc=nc: flash_pair(
+                        q_, k_, v_, bq=bq, bkv=bkv, nchain=nc
                     ), q, k, v,
                 )
                 print(
-                    f"B{B} S{S} pair {bq}x{bkv}: {t*1e3:.3f} ms "
+                    f"B{B} S{S} pair {bq}x{bkv} x{nc}: {t*1e3:.3f} ms "
                     f"{fl/t/1e12:.1f} TFLOP/s", flush=True,
                 )
             except Exception as e:
-                print(f"pair {bq}x{bkv} FAILED {str(e)[:150]}", flush=True)
+                print(f"pair {bq}x{bkv} x{nc} FAILED {str(e)[:150]}", flush=True)
 
 
 if __name__ == "__main__":

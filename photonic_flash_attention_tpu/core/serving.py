@@ -35,13 +35,17 @@ from ..utils.logging import get_logger
 from .native_sched import make_scheduler
 
 
-def _model_adapter(cfg):
-    """Map a model config to (create_pages, prefill, decode, prefill_chunk).
+def _model_adapter(cfg, *, max_batch: int = 8, enc_max_len: int = 512):
+    """Map a model config to
+    (create_pages, prefill, decode, prefill_chunk, family).
 
     The engine's scheduler is family-agnostic; only the compiled step
     functions differ (GPT-2: LayerNorm+learned positions; Llama:
-    RMSNorm+RoPE+GQA pages). ``prefill_chunk`` is None for families
-    without a chunked-prefill step (their prompts prefill in one shot)."""
+    RMSNorm+RoPE+GQA pages; T5: encoder-decoder with pinned cross-KV).
+    ``prefill_chunk`` is None for families without a chunked-prefill
+    step. ``family`` is "causal" (decoder-only: prompt tokens live in
+    the paged pool) or "encdec" (prompt lives in pinned cross buffers;
+    only decoder tokens take pages)."""
     if isinstance(cfg, GPT2Config):
         from ..models.gpt2_serving import prefill_chunk_step
 
@@ -52,6 +56,7 @@ def _model_adapter(cfg):
             prefill_step,
             decode_step,
             prefill_chunk_step,
+            "causal",
         )
     from ..models.llama import LlamaConfig
     from ..models.llama_serving import (
@@ -69,6 +74,25 @@ def _model_adapter(cfg):
             llama_prefill_step,
             llama_decode_step,
             llama_prefill_chunk_step,
+            "causal",
+        )
+    from ..models.t5 import T5Config
+    from ..models.t5_serving import (
+        create_t5_pages,
+        t5_decode_step,
+        t5_prefill_step,
+    )
+
+    if isinstance(cfg, T5Config):
+        return (
+            lambda num_pages, page_size, dtype: create_t5_pages(
+                cfg, num_pages, page_size, dtype,
+                max_batch=max_batch, enc_max_len=enc_max_len,
+            ),
+            t5_prefill_step,
+            t5_decode_step,
+            None,
+            "encdec",
         )
     raise TypeError(f"no serving adapter for config type {type(cfg).__name__}")
 
@@ -369,6 +393,9 @@ class ServingEngine:
         # does; can delay a large head — opt in for small-request-heavy
         # traffic).
         admission: str = "fifo",
+        # Encoder-decoder families (T5): maximum encoder prompt length —
+        # sizes the pinned per-slot cross-attention KV buffers.
+        enc_max_len: int = 512,
     ) -> None:
         # The fused Pallas decode kernel is the only decode path on TPU
         # (its aliased-pool write+attend structure has no XLA equivalent
@@ -390,9 +417,14 @@ class ServingEngine:
         self.quantized = kv_dtype == jnp.int8
         self.eos_token_id = eos_token_id
 
-        create_pages, self._prefill_step, self._decode_step, self._chunk_step = (
-            _model_adapter(cfg)
-        )
+        (
+            create_pages,
+            self._prefill_step,
+            self._decode_step,
+            self._chunk_step,
+            self._family,
+        ) = _model_adapter(cfg, max_batch=max_batch, enc_max_len=enc_max_len)
+        self.enc_max_len = enc_max_len
         if prefill_chunk is not None:
             if self._chunk_step is None:
                 raise ValueError(
@@ -544,8 +576,21 @@ class ServingEngine:
         priority: int = 0,
     ) -> int:
         """Queue a request (reference submit_task :252). Higher
-        ``priority`` admits first; FIFO within a priority level."""
-        if len(prompt_ids) + max_new_tokens > self.max_pages_per_seq * self.page_size:
+        ``priority`` admits first; FIFO within a priority level.
+
+        Decoder-only families: ``prompt_ids`` are the causal prompt.
+        Encoder-decoder (T5): ``prompt_ids`` are the ENCODER input; only
+        decoder tokens (start + generated) consume KV pages."""
+        if self._family == "encdec":
+            if len(prompt_ids) > self.enc_max_len:
+                raise KVCacheError(
+                    f"encoder prompt ({len(prompt_ids)}) exceeds "
+                    f"enc_max_len ({self.enc_max_len})"
+                )
+            needed = 1 + max_new_tokens
+        else:
+            needed = len(prompt_ids) + max_new_tokens
+        if needed > self.max_pages_per_seq * self.page_size:
             raise KVCacheError("request exceeds max sequence capacity")
         seq = _Sequence(
             seq_id=self._next_id,
@@ -569,6 +614,14 @@ class ServingEngine:
     def _pages_needed(self, tokens: int) -> int:
         return -(-tokens // self.page_size)
 
+    def _total_tokens(self, seq: _Sequence) -> int:
+        """Paged tokens a sequence needs: prompt + generation for causal
+        families; start token + generation for encoder-decoder (the
+        encoder prompt lives in the pinned cross buffers)."""
+        if self._family == "encdec":
+            return 1 + seq.max_new_tokens
+        return seq.prompt_len + seq.max_new_tokens
+
     ADMIT_SKIP_AHEAD = 4
 
     def _pick_admittable(self) -> Optional[int]:
@@ -583,7 +636,7 @@ class ServingEngine:
         # large head that cannot get pages anyway).
         for sid in self._sched.waiting_ids()[: self.ADMIT_SKIP_AHEAD + 1]:
             seq = self._sequences[sid]
-            need = self._pages_needed(seq.prompt_len + seq.max_new_tokens)
+            need = self._pages_needed(self._total_tokens(seq))
             if need <= self._alloc.stats()["pages_free"]:
                 return sid
         return head  # nothing fits; report the head (admission will stall)
@@ -597,7 +650,7 @@ class ServingEngine:
             if sid is None:
                 break
             seq = self._sequences[sid]
-            total_tokens = seq.prompt_len + seq.max_new_tokens
+            total_tokens = self._total_tokens(seq)
             try:
                 seq.alloc_id = self._alloc.allocate_sequence(total_tokens)
             except KVCacheError:
@@ -626,6 +679,9 @@ class ServingEngine:
         return max(16, 1 << (n - 1).bit_length())
 
     def _prefill(self, seq: _Sequence) -> None:
+        if self._family == "encdec":
+            self._prefill_encdec(seq)
+            return
         s_pad = self._bucket(seq.prompt_len)
         ids = np.zeros((1, s_pad), np.int32)
         ids[0, : seq.prompt_len] = seq.tokens[: seq.prompt_len]
@@ -641,6 +697,32 @@ class ServingEngine:
             self.pages_tree,
             jnp.asarray(slots),
             self.quantized,
+        )
+        self._prefill_time += time.perf_counter() - t0
+        self._prefill_tokens += seq.prompt_len
+        seq.prefilled = seq.prompt_len
+        self._append_token(seq, self._pick_token(logits[0], seq))
+
+    def _prefill_encdec(self, seq: _Sequence) -> None:
+        """T5 prefill: encoder forward + cross-KV pin + decoder start
+        token (see models/t5_serving.t5_prefill_step)."""
+        s_pad = self._bucket(seq.prompt_len)
+        ids = np.zeros((1, s_pad), np.int32)
+        ids[0, : seq.prompt_len] = seq.tokens[: seq.prompt_len]
+        dec0 = np.asarray([self._flat_slot(seq, 0)], np.int32)
+        tables = np.zeros((1, self.max_pages_per_seq), np.int32)
+        tables[0, : len(seq.page_ids)] = seq.page_ids
+        t0 = time.perf_counter()
+        logits, self.pages_tree = self._prefill_step(
+            self.params,
+            self.cfg,
+            jnp.asarray(ids),
+            jnp.asarray([seq.prompt_len], jnp.int32),
+            self.pages_tree,
+            jnp.asarray(dec0),
+            jnp.asarray(tables),
+            self.quantized,
+            jnp.asarray(seq.slot, jnp.int32),
         )
         self._prefill_time += time.perf_counter() - t0
         self._prefill_tokens += seq.prompt_len
@@ -789,11 +871,17 @@ class ServingEngine:
                 continue  # length 0: fully masked; writes land in trash
             seq = self._sequences[sid]
             # The model consumes the LAST token (already appended) and
-            # writes its K/V at position length-1.
-            idx = seq.length - 1
-            host[0, slot] = seq.tokens[idx]
-            host[1, slot] = idx
-            host[2, slot] = seq.length
+            # writes its K/V at position length-1. Encoder-decoder
+            # families count DECODER positions only: the decoder sequence
+            # is [start] + generated, so the consumed token (the last
+            # generated one) sits at decoder index new_tokens.
+            host[0, slot] = seq.tokens[seq.length - 1]
+            if self._family == "encdec":
+                host[1, slot] = seq.new_tokens
+                host[2, slot] = seq.new_tokens + 1
+            else:
+                host[1, slot] = seq.length - 1
+                host[2, slot] = seq.length
         # Page tables change only at admission/retirement: keep them
         # device-resident between windows (each host->device transfer is
         # a full round-trip through tunneled runtimes). Stale rows after
@@ -897,6 +985,11 @@ class ServingEngine:
                 "temperature": self.temperature,
                 "top_k": self.top_k,
                 "seed": self._sample_seed,
+                "enc_max_len": self.enc_max_len,
+                # ADVICE r3: a TP-sharded engine checkpoint must not
+                # silently restore as a single-device engine.
+                "sharded": self._mesh is not None,
+                "model_axis": self._model_axis,
             },
             "next_id": self._next_id,
             "waiting": self._sched.waiting_ids(),
@@ -929,7 +1022,7 @@ class ServingEngine:
         logger.info("saved serving state (%d seqs) -> %s", len(host["sequences"]), path)
 
     @classmethod
-    def restore(cls, path: str, cfg, params: Dict) -> "ServingEngine":
+    def restore(cls, path: str, cfg, params: Dict, mesh=None) -> "ServingEngine":
         """Rebuild a mid-generation engine saved by :meth:`save`.
 
         Page bookkeeping resumes on the Python allocator with the saved
@@ -943,9 +1036,22 @@ class ServingEngine:
         with open(os.path.join(path, "state.json")) as f:
             host = json.load(f)
         ctor = host["ctor"]
+        if ctor.get("sharded"):
+            # ADVICE r3: the checkpoint was taken from a model-axis
+            # sharded engine; restoring without a mesh would silently
+            # drop the sharding. Callers must pass mesh= to restore.
+            if mesh is None:
+                raise ValueError(
+                    "checkpoint was saved from a TP-sharded engine "
+                    f"(model_axis={ctor.get('model_axis')!r}); pass mesh= "
+                    "to restore it sharded"
+                )
         eng = cls(
             cfg,
             params,
+            mesh=mesh,
+            model_axis=ctor.get("model_axis") or "model",
+            enc_max_len=ctor.get("enc_max_len", 512),
             num_pages=ctor["num_pages"],
             page_size=ctor["page_size"],
             max_batch=ctor["max_batch"],

@@ -416,6 +416,7 @@ def _fused_decode_kernel(
     v_ins_ref,
     ks_ins_ref,  # (1, Hkv, 1, 128) VMEM — new scales lane-replicated (or dummy)
     vs_ins_ref,
+    bias_ref,  # (1, Hkv, block_tokens) VMEM per-token score bias (or dummy)
     k_pages_hbm,  # (L, Hkv, P, D, page) ANY — aliased to k_out
     v_pages_hbm,
     k_scales_hbm,  # (L, Hkv, P, 1, page) ANY or dummy
@@ -446,6 +447,7 @@ def _fused_decode_kernel(
     pages_per_seq: int,
     page_size: int,
     quantized: bool,
+    has_bias: bool = False,
 ):
     """Fused decode, head-folded: grid is (B, kv_blocks) — ALL kv heads
     are handled inside one grid step with batched matmuls, and each page
@@ -609,6 +611,14 @@ def _fused_decode_kernel(
             preferred_element_type=jnp.float32,
         ) * sm_scale  # (Hkv, G_pad, T)
 
+        if has_bias:
+            # Per-(head, token) additive score bias — in-kernel T5
+            # relative-position bias at decode (reference applies its
+            # position_bias inside the attention forward; here the
+            # (B, Hkv, S) bias is computed per step in XLA and streamed
+            # per kv block).
+            s = s + bias_ref[0][:, None, :]
+
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, (hkv_, g_pad, block_tokens), 2)
             + blk * block_tokens
@@ -670,9 +680,15 @@ def paged_decode_attention(
     sm_scale: Optional[float] = None,
     pages_per_block: int = 4,
     interpret: Optional[bool] = None,
+    token_bias: Optional[jax.Array] = None,  # (B, Hkv, >=S_cap) fp32
 ):
     """Fused decode step: write the token's K/V into the paged pool
     (in place — pools are aliased in/out) and attend over it.
+
+    ``token_bias`` adds a per-(head, key-token) score bias in-kernel —
+    the T5 relative-position bias at decode. Its token axis must cover
+    the padded page-table capacity (zero-padded; columns past ``lengths``
+    are masked anyway).
 
     Returns ``(o, k_pages, v_pages)`` or
     ``(o, k_pages, v_pages, k_scales, v_scales)`` when quantized —
@@ -727,6 +743,24 @@ def paged_decode_attention(
         k_scales5 = jnp.zeros((1, hkv, 1, 1, 128), jnp.float32)
         v_scales5 = jnp.zeros((1, hkv, 1, 1, 128), jnp.float32)
 
+    block_tokens = pages_per_block * page_size
+    has_bias = token_bias is not None
+    if has_bias:
+        s_cap = pages_per_seq * page_size
+        tb = token_bias.astype(jnp.float32)
+        if tb.shape[-1] < s_cap:
+            tb = jnp.pad(tb, ((0, 0), (0, 0), (0, s_cap - tb.shape[-1])))
+        else:
+            tb = tb[..., :s_cap]
+        bias_spec = pl.BlockSpec(
+            (1, hkv, block_tokens), lambda b_, blk, *refs: (b_, 0, blk)
+        )
+    else:
+        tb = jnp.zeros((b, hkv, 128), jnp.float32)
+        bias_spec = pl.BlockSpec(
+            (1, hkv, 128), lambda b_, blk, *refs: (b_, 0, 0)
+        )
+
     kernel = functools.partial(
         _fused_decode_kernel,
         sm_scale=scale,
@@ -734,9 +768,9 @@ def paged_decode_attention(
         pages_per_seq=pages_per_seq,
         page_size=page_size,
         quantized=quantized,
+        has_bias=has_bias,
     )
 
-    block_tokens = pages_per_block * page_size
     sdtype = jnp.float32
 
     def seq_spec(arr):
@@ -753,6 +787,7 @@ def paged_decode_attention(
             seq_spec(v_ins),
             seq_spec(ks_ins),
             seq_spec(vs_ins),
+            bias_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # k_pages
             pl.BlockSpec(memory_space=pl.ANY),  # v_pages
             pl.BlockSpec(memory_space=pl.ANY),  # k_scales
@@ -795,9 +830,9 @@ def paged_decode_attention(
             jax.ShapeDtypeStruct(v_scales5.shape, v_scales5.dtype),
         ),
         # Operand indices include the 4 scalar-prefetch args:
-        # q=4, k_ins=5, v_ins=6, ks_ins=7, vs_ins=8, k_pages=9, v=10,
-        # ks=11, vs=12.
-        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
+        # q=4, k_ins=5, v_ins=6, ks_ins=7, vs_ins=8, bias=9, k_pages=10,
+        # v=11, ks=12, vs=13.
+        input_output_aliases={10: 1, 11: 2, 12: 3, 13: 4},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -812,6 +847,7 @@ def paged_decode_attention(
         v_ins,
         ks_ins,
         vs_ins,
+        tb,
         k_pages,
         v_pages,
         k_scales5,
