@@ -10,25 +10,28 @@ regime where the README claims 4.9-9.9x speedups, README.md:659-661).
 — the honest analogue of the reference's photonic-vs-GPU ratio (their
 "GPU baseline" was their own standard path).
 
-Round 3 additions (VERDICT r2 #1 / weak #7):
-* ``mfu`` — headline effective TFLOP/s vs the D=64 model ceiling
-  (98.5 TFLOP/s on v5e: D=64 can use at most half the 128-wide MXU
-  contraction; bf16 peak 197).
-* a measured XLA-matmul roofline calibration at the kernel's own tile
-  shapes (the model ceiling is optimistic; XLA itself achieves ~90
-  TFLOP/s on the QK-shaped batched matmul) and ``mfu_vs_xla_matmul``.
-* ``rows``: the quantized paths (INT8/FP8 flash) and INT8 paged decode,
-  so their perf can no longer silently regress between rounds.
+Round 4 additions (VERDICT r3 #1-#3, #7, #10):
+* measured HBM READ bandwidth calibration (Pallas DMA probe,
+  ops/hbm_bw.py) and ``pct_of_measured_hbm`` on every decode row,
+* decode rows at serving-realistic geometries (B16/KV4096/GQA/D128,
+  B32/KV2048/D64) through the round-4 head-folded kernel,
+* D=128 GQA prefill rows (Llama geometry) where the full MXU width
+  applies,
+* the per-tensor-scale quantized kernels (int8qk / int8full / fp8qk),
+* a training row (fwd+bwd via the Pallas backward kernels),
+* a GPT-2-medium continuous-batching serving row (mixed
+  prefill+decode tokens/s).
 
 Timing methodology: the iteration loop runs INSIDE one jitted
 ``lax.scan`` (output chained into the next call so nothing is
 dead-code-eliminated), and per-iteration time is the slope of a linear
 fit across two iteration counts. This cancels the fixed host->device
 dispatch + fetch round-trip, which through tunneled remote runtimes is
-~24 ms per call — 12x the kernel itself at this geometry — and which a
-production serving loop amortizes by pipelining. ``block_until_ready``
-is additionally unreliable here (observed to return before execution
-completes), so completion is forced by fetching a scalar reduction.
+~24 ms per call, and which a production serving loop amortizes by
+pipelining. Two further rules (measured, see ops/hbm_bw.py): fetch the
+FULL result (sliced fetches let XLA DCE whole columns through the
+scan), and pass every large array as a jit ARGUMENT (large HLO
+constants stream from HBM at half bandwidth: 356 vs 736 GB/s).
 """
 
 import functools
@@ -45,10 +48,17 @@ ITERS_LO, ITERS_HI = 20, 120
 # v5e per-chip model ceilings at D=64 (half the 128-wide MXU contraction):
 # bf16 peak 197 TFLOP/s -> 98.5; int8 peak 394 TOPS -> 197. int8-QK runs
 # only the score matmul at the int8 rate (PV stays bf16): harmonic blend
-# 2/(1/197 + 1/98.5) = 131.3.
-CEIL_BF16_D64 = 98.5e12
-CEIL_INT8_D64 = 197.0e12
-CEIL_INT8QK_D64 = 131.3e12
+# 2/(1/197 + 1/98.5) = 131.3. At D=128 the full MXU width applies.
+CEILS = {
+    (64, "bf16"): 98.5e12,
+    (64, "int8"): 197.0e12,
+    (64, "int8qk"): 131.3e12,
+    (64, "fp8"): 98.5e12,  # v5e has no native fp8 MXU path
+    (128, "bf16"): 197.0e12,
+    (128, "int8"): 394.0e12,
+    (128, "int8qk"): 262.7e12,
+    (128, "fp8"): 197.0e12,
+}
 
 
 def _timed(fn, q, k, v, iters, repeats=3):
@@ -81,8 +91,7 @@ def _calibrate_matmul_tflops():
     """Measured XLA rate for the flash kernel's matmul pair: a QK-shaped
     (512, 64) @ (64, 512) batched matmul followed by a PV-shaped
     (512, 512) @ (512, 64) — the honest per-shape roofline the kernel
-    competes against (the 98.5 model number is optimistic; both matmuls
-    must be computed in full for the chain, nothing is sliced away)."""
+    competes against."""
     rng = np.random.default_rng(1)
     g = 48
     a = jnp.asarray(rng.standard_normal((g, 512, 64)), jnp.bfloat16)
@@ -99,11 +108,47 @@ def _calibrate_matmul_tflops():
     return 2 * (2 * g * 512 * 64 * 512) / t / 1e12
 
 
-def _decode_row():
-    """INT8 paged-decode attention row: B=8 sequences at kv_len=2048."""
-    from photonic_flash_attention_tpu.ops.paged import paged_attention
+def _calibrate_hbm_read_gbps():
+    """Measured HBM READ bandwidth: a manual double-buffered Pallas DMA
+    stream over a 256 MB jit ARGUMENT (ops/hbm_bw.py — the roofline
+    memory-bound decode competes against)."""
+    from photonic_flash_attention_tpu.ops.hbm_bw import hbm_read_probe
 
-    B, Hq, Hkv, D, S, page = 8, 12, 12, 64, 2048, 128
+    n_bytes = 256 * 1024 * 1024
+    rows = n_bytes // 2 // 512
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def many(x, n):
+        def body(carry, _):
+            x, acc = carry
+            small = hbm_read_probe(x)
+            return (x, acc + jnp.sum(small.astype(jnp.float32))), None
+
+        (x, acc), _ = jax.lax.scan(
+            body, (x, jnp.float32(0)), None, length=n
+        )
+        return acc
+
+    x = jnp.ones((rows, 512), jnp.bfloat16)
+
+    def run(n):
+        float(many(x, n))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(many(x, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = (run(50) - run(10)) / 40
+    return n_bytes / t / 1e9
+
+
+def _decode_row(name, B, Hq, Hkv, D, S, page, hbm_gbps, pages_per_block=8):
+    """INT8 paged-decode row through the head-folded kernel; KV pools as
+    jit arguments (constants stream at half bandwidth)."""
+    from photonic_flash_attention_tpu.ops.paged import paged_attention_hf
+
     pps = S // page
     num_pages = B * pps + 1
     rng = np.random.default_rng(2)
@@ -117,28 +162,120 @@ def _decode_row():
     ks = jnp.full((Hkv, num_pages, page), 0.05, jnp.float32)
     vs = jnp.full((Hkv, num_pages, page), 0.05, jnp.float32)
     lengths = jnp.full((B,), S, jnp.int32)
-    page_indices = (
-        jnp.arange(B * pps, dtype=jnp.int32).reshape(B, pps) + 1
-    )
+    tables = jnp.arange(B * pps, dtype=jnp.int32).reshape(B, pps) + 1
 
-    def fn(c, _k, _v):
-        return paged_attention(c, kp, vp, lengths, page_indices, ks, vs)
+    @functools.partial(jax.jit, static_argnums=7)
+    def many(q, kp, vp, ks, vs, lengths, tables, n):
+        def body(c, _):
+            o = paged_attention_hf(
+                c, kp, vp, lengths, tables, ks, vs,
+                pages_per_block=pages_per_block, num_buffers=3,
+                int8_compute=False,
+            )
+            return o, None
 
-    t = _bench(fn, q, q, q, iters=(40, 240))
-    kv_bytes = B * S * Hkv * D * 2  # int8 K+V payload per call
+        out, _ = jax.lax.scan(body, q, None, length=n)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def run(n):
+        float(many(q, kp, vp, ks, vs, lengths, tables, n))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(many(q, kp, vp, ks, vs, lengths, tables, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = (run(120) - run(20)) / 100
+    kv_bytes = B * S * Hkv * D * 2 + B * S * Hkv * 4 * 2  # payload + scales
+    gbps = kv_bytes / t / 1e9
     return {
-        "name": "paged_decode_int8_b8_kv2048",
+        "name": name,
         "ms": round(t * 1e3, 4),
         "decode_tokens_per_s": round(B / t, 1),
-        "hbm_read_gbps": round(kv_bytes / t / 1e9, 1),
+        "hbm_read_gbps": round(gbps, 1),
+        "pct_of_measured_hbm": (
+            round(100 * gbps / hbm_gbps, 1) if hbm_gbps else None
+        ),
+    }
+
+
+def _training_row():
+    """fwd+bwd through the Pallas flash kernels (VERDICT r3 #7): the
+    training-path counterpart of the headline prefill row."""
+    from photonic_flash_attention_tpu.ops.flash import flash_attention
+
+    B, S, H, D = 4, 2048, 12, 64
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, causal=True, block_q=512, block_kv=512)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2))
+
+    def fn(c, k, v):
+        dq, dk, dv = grad(c, k, v)
+        return (c + dq.astype(c.dtype) * jnp.bfloat16(1e-6)).astype(c.dtype)
+
+    t = _bench(fn, q, k, v, iters=(10, 50))
+    # fwd 4*B*H*S^2*D*0.5 causal + bwd ~2.5x fwd (dq,dk,dv + recompute)
+    fl = 4 * B * H * S * S * D * 0.5 * 3.5
+    return {
+        "name": "train_fwd_bwd_b4_s2048",
+        "ms": round(t * 1e3, 4),
+        "tflops": round(fl / t / 1e12, 1),
+        "note": "flash fwd + Pallas bwd (dq/dkv), flops = 3.5x fwd model",
+    }
+
+
+def _serving_row():
+    """GPT-2-medium continuous batching: mixed prefill+decode tokens/s
+    through the ServingEngine (VERDICT r3 #10; north star
+    'tokens/sec/chip prefill+decode')."""
+    from photonic_flash_attention_tpu.core.serving import ServingEngine
+    from photonic_flash_attention_tpu.models.gpt2 import GPT2Config, GPT2LMHead
+
+    cfg = GPT2Config.medium()
+    model = GPT2LMHead(cfg)
+    rng = np.random.default_rng(4)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+    )
+    eng = ServingEngine(
+        cfg,
+        variables["params"],
+        num_pages=256,
+        page_size=128,
+        max_batch=8,
+        kv_dtype=jnp.int8,
+        decode_window=16,
+    )
+    prompts = [list(rng.integers(1, cfg.vocab_size, 128)) for _ in range(8)]
+    n_new = 64
+    t0 = time.perf_counter()
+    eng.generate(prompts, max_new_tokens=n_new)
+    wall = time.perf_counter() - t0
+    stats = eng.get_performance_stats()
+    total_tokens = 8 * (128 + n_new)
+    return {
+        "name": "serving_gpt2_medium_int8kv_b8",
+        "wall_s": round(wall, 2),
+        "tokens_per_s": round(total_tokens / wall, 1),
+        "decode_tokens_per_s_device": round(stats.get("decode_tokens_per_s", 0.0), 1),
+        "note": "8x(128 prompt + 64 new), int8 KV, window 16, incl. host",
     }
 
 
 def main() -> None:
     from photonic_flash_attention_tpu.ops.flash import flash_attention
     from photonic_flash_attention_tpu.ops.flash_fp8 import (
+        flash_attention_fp8qk,
+        flash_attention_int8full,
         flash_attention_int8qk,
-        flash_attention_quant,
     )
     from photonic_flash_attention_tpu.ops.reference import attention_reference
     from photonic_flash_attention_tpu.optimization.caching import (
@@ -185,26 +322,22 @@ def main() -> None:
             "name": "flash_bf16_causal_b4_s2048",
             "ms": round(t_flash * 1e3, 4),
             "tflops": round(eff_tflops, 1),
-            "mfu_vs_d64_ceiling": round(eff_tflops * 1e12 / CEIL_BF16_D64, 3),
+            "mfu_vs_ceiling": round(eff_tflops * 1e12 / CEILS[(64, "bf16")], 3),
         }
     ]
 
+    def flash_d128(q, k, v):
+        return flash_attention(q, k, v, causal=True, block_q=bq, block_kv=bkv)
+
     extra = [
-        (
-            "flash_bf16_causal_b1_s8192",
-            lambda q, k, v: flash_attention(
-                q, k, v, causal=True, block_q=bq, block_kv=bkv
-            ),
-            "bf16",
-            (1, 8192),
-        ),
+        ("flash_bf16_causal_b1_s8192", flash_d128, "bf16", (1, 8192, 12, 12, 64)),
         (
             "flash_int8qk_causal_b4_s2048",
             lambda q, k, v: flash_attention_int8qk(
                 q, k, v, causal=True, block_q=bq, block_kv=bkv
             ),
             "int8qk",
-            (B, S),
+            (B, S, H, H, D),
         ),
         (
             "flash_int8qk_causal_b1_s8192",
@@ -212,46 +345,64 @@ def main() -> None:
                 q, k, v, causal=True, block_q=bq, block_kv=bkv
             ),
             "int8qk",
-            (1, 8192),
+            (1, 8192, 12, 12, 64),
         ),
         (
-            "flash_int8_causal_b4_s2048",
-            lambda q, k, v: flash_attention_quant(
-                q, k, v, qdtype="int8", causal=True, block_q=bq, block_kv=bkv
+            "flash_int8full_causal_b1_s8192",
+            lambda q, k, v: flash_attention_int8full(
+                q, k, v, causal=True, block_q=bq, block_kv=bkv
             ),
             "int8",
-            (B, S),
+            (1, 8192, 12, 12, 64),
         ),
         (
-            "flash_fp8_causal_b4_s2048",
-            lambda q, k, v: flash_attention_quant(
-                q, k, v, qdtype="fp8", causal=True, block_q=bq, block_kv=bkv
+            "flash_fp8qk_causal_b4_s2048",
+            lambda q, k, v: flash_attention_fp8qk(
+                q, k, v, causal=True, block_q=bq, block_kv=bkv
             ),
             "fp8",
-            (B, S),
+            (B, S, H, H, D),
+        ),
+        # D=128 Llama geometry (GQA 32/8): full MXU width (VERDICT r3 #3)
+        ("flash_bf16_causal_b4_s4096_d128gqa", flash_d128, "bf16",
+         (4, 4096, 32, 8, 128)),
+        (
+            "flash_int8qk_causal_b4_s4096_d128gqa",
+            lambda q, k, v: flash_attention_int8qk(
+                q, k, v, causal=True, block_q=bq, block_kv=bkv
+            ),
+            "int8qk",
+            (4, 4096, 32, 8, 128),
+        ),
+        (
+            "flash_fp8qk_causal_b4_s4096_d128gqa",
+            lambda q, k, v: flash_attention_fp8qk(
+                q, k, v, causal=True, block_q=bq, block_kv=bkv
+            ),
+            "fp8",
+            (4, 4096, 32, 8, 128),
         ),
     ]
-    for name, fn, dtype, (b_, s_) in extra:
+    for name, fn, dtype, (b_, s_, h_, hkv_, d_) in extra:
         try:
-            if (b_, s_) != (B, S):
-                qq = jnp.asarray(
-                    rng.standard_normal((b_, s_, H, D)), jnp.bfloat16
-                )
-                args = (qq, qq, qq)
-            else:
-                args = (q, k, v)
-            t = _bench(fn, *args)
-            fl = 4 * b_ * H * s_ * s_ * D * 0.5
-            ceil = {
-                "int8": CEIL_INT8_D64,
-                "int8qk": CEIL_INT8QK_D64,
-            }.get(dtype, CEIL_BF16_D64)
+            qq = jnp.asarray(
+                rng.standard_normal((b_, s_, h_, d_)), jnp.bfloat16
+            )
+            kk = jnp.asarray(
+                rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16
+            )
+            vv = jnp.asarray(
+                rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16
+            )
+            t = _bench(fn, qq, kk, vv)
+            fl = 4 * b_ * h_ * s_ * s_ * d_ * 0.5
+            ceil = CEILS[(d_, dtype)]
             rows.append(
                 {
                     "name": name,
                     "ms": round(t * 1e3, 4),
                     "tflops": round(fl / t / 1e12, 1),
-                    "mfu_vs_d64_ceiling": round(fl / t / ceil, 3),
+                    "mfu_vs_ceiling": round(fl / t / ceil, 3),
                 }
             )
             print(f"{name} {t*1e3:.3f} ms", file=sys.stderr, flush=True)
@@ -259,10 +410,34 @@ def main() -> None:
             print(f"{name} failed: {e}", file=sys.stderr, flush=True)
 
     try:
-        rows.append(_decode_row())
-        print(f"decode row done", file=sys.stderr, flush=True)
+        hbm_gbps = _calibrate_hbm_read_gbps()
+        print(f"hbm read {hbm_gbps:.0f} GB/s", file=sys.stderr, flush=True)
     except Exception as e:  # pragma: no cover
-        print(f"decode row failed: {e}", file=sys.stderr, flush=True)
+        print(f"hbm calibration failed: {e}", file=sys.stderr, flush=True)
+        hbm_gbps = None
+
+    for dname, geo in [
+        ("paged_decode_int8_b8_kv2048", (8, 12, 12, 64, 2048, 128)),
+        ("paged_decode_int8_b32_kv2048_d64", (32, 12, 12, 64, 2048, 128)),
+        ("paged_decode_int8_b16_kv4096_gqa_d128", (16, 32, 8, 128, 4096, 128)),
+    ]:
+        try:
+            rows.append(_decode_row(dname, *geo, hbm_gbps))
+            print(f"{dname} done", file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover
+            print(f"{dname} failed: {e}", file=sys.stderr, flush=True)
+
+    try:
+        rows.append(_training_row())
+        print("training row done", file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"training row failed: {e}", file=sys.stderr, flush=True)
+
+    try:
+        rows.append(_serving_row())
+        print("serving row done", file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"serving row failed: {e}", file=sys.stderr, flush=True)
 
     try:
         xla_matmul_tflops = _calibrate_matmul_tflops()
@@ -277,24 +452,26 @@ def main() -> None:
                 "value": round(tokens_per_s, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(t_naive / t_flash, 3),
-                "mfu": round(eff_tflops * 1e12 / CEIL_BF16_D64, 3),
+                "mfu": round(eff_tflops * 1e12 / CEILS[(64, "bf16")], 3),
                 "detail": {
                     "shape": {"batch": B, "seq": S, "heads": H, "head_dim": D},
                     "flash_ms": round(t_flash * 1e3, 3),
                     "xla_naive_ms": round(t_naive * 1e3, 3),
                     "effective_tflops": round(eff_tflops, 1),
                     "roofline": {
-                        "model_d64_bf16_tflops": CEIL_BF16_D64 / 1e12,
-                        "model_d64_int8_tflops": CEIL_INT8_D64 / 1e12,
+                        "model_d64_bf16_tflops": CEILS[(64, "bf16")] / 1e12,
+                        "model_d64_int8_tflops": CEILS[(64, "int8")] / 1e12,
+                        "model_d128_bf16_tflops": CEILS[(128, "bf16")] / 1e12,
+                        "measured_hbm_read_gbps": (
+                            round(hbm_gbps, 1) if hbm_gbps else None
+                        ),
                         "measured_xla_matmul_tflops": (
                             round(xla_matmul_tflops, 1)
                             if xla_matmul_tflops
                             else None
                         ),
                         "mfu_vs_xla_matmul": (
-                            round(
-                                eff_tflops / xla_matmul_tflops, 3
-                            )
+                            round(eff_tflops / xla_matmul_tflops, 3)
                             if xla_matmul_tflops
                             else None
                         ),

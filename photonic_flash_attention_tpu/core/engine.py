@@ -404,15 +404,18 @@ class AttentionEngine:
                 return ring_fn(q, k, v), None
 
         elif kind == KernelKind.PAGED_DECODE:
-            from ..ops.paged import paged_attention
+            from ..ops.paged import paged_attention_hf as paged_attention
 
             @jax.jit
             def fn(q, k, v, kv_lens=None, k_bias=None):
                 # Decode (Sq == 1) against contiguous KV: repack into the
                 # serving pool's 128-token-minor page layout with an
                 # identity page table and run the paged decode kernel —
-                # the same kernel ServingEngine drives, reachable through
-                # the router (SURVEY phase-5 registry).
+                # the round-4 head-folded bandwidth-first variant
+                # (ops/paged.py paged_attention_hf, 628-806 GB/s HBM read
+                # vs the round-3 per-head kernel's 212 at the same
+                # geometry) — reachable through the router (SURVEY
+                # phase-5 registry).
                 b, _, hq, d = q.shape
                 skv, hkv = k.shape[1], k.shape[2]
                 page = 128
