@@ -118,13 +118,56 @@ def benchmark(args: argparse.Namespace) -> int:
 
 
 def calibrate(args: argparse.Namespace) -> int:
-    """Quantization error sweep (reference cli.py:148-303)."""
-    from .ops.flash_fp8 import flash_attention_quant
+    """Quantization error sweep (reference cli.py:148-303).
+
+    Covers the per-128-row-block kernels (fp8/int8) AND the round-4
+    per-tensor-scale kernels (fp8qk/int8qk/int8full) — the ones the
+    router actually prefers — against the fp32 oracle."""
+    from .ops.flash_fp8 import (
+        flash_attention_fp8qk,
+        flash_attention_int8full,
+        flash_attention_int8qk,
+        flash_attention_quant,
+    )
     from .ops.quantization import quantization_error, quantize
     from .ops.reference import attention_reference
 
     rng = np.random.default_rng(args.seed)
     report: Dict[str, Any] = {"modes": {}, "patterns": args.patterns}
+
+    kernel_variants = {
+        "fp8qk": flash_attention_fp8qk,
+        "int8qk": flash_attention_int8qk,
+        "int8full": flash_attention_int8full,
+    }
+    for mode, kernel in kernel_variants.items():
+        attn_errs = []
+        for i in range(args.patterns):
+            scale = 10.0 ** rng.uniform(-1, 1)
+            q = jnp.asarray(rng.standard_normal((1, 256, 4, 64)), jnp.float32)
+            k = jnp.asarray(rng.standard_normal((1, 256, 4, 64)), jnp.float32)
+            v = jnp.asarray(
+                rng.standard_normal((1, 256, 4, 64)) * scale, jnp.float32
+            )
+            ref, _ = attention_reference(q, k, v)
+            out = kernel(q, k, v, block_q=128, block_kv=128)
+            num = float(jnp.linalg.norm((out - ref).astype(jnp.float32)))
+            den = float(jnp.linalg.norm(ref.astype(jnp.float32)))
+            attn_errs.append(num / max(den, 1e-9))
+        report["modes"][mode] = {
+            "attention_rel_err_mean": float(np.mean(attn_errs)),
+            "attention_rel_err_max": float(np.max(attn_errs)),
+            "passes_reference_gate": bool(np.max(attn_errs) < 0.1),
+            "passes_internal_gate": bool(np.max(attn_errs) < 0.05),
+        }
+        m = report["modes"][mode]
+        print(
+            f"{mode}: attention rel-err mean {m['attention_rel_err_mean']:.4f} "
+            f"max {m['attention_rel_err_max']:.4f}  "
+            f"gate(<0.1): {'PASS' if m['passes_reference_gate'] else 'FAIL'}  "
+            f"internal(<0.05): "
+            f"{'PASS' if m['passes_internal_gate'] else 'FAIL'}"
+        )
 
     for mode, qdtype in (("fp8", jnp.float8_e4m3fn), ("int8", jnp.int8)):
         tensor_errs, attn_errs = [], []

@@ -110,7 +110,11 @@ class AttentionEngine:
     ) -> None:
         cfg = get_config()
         self.router = router or AdaptiveRouter()
-        self.autotuner = autotuner or Autotuner()
+        # Default to the PROCESS-WIDE profile store so blocks tuned here
+        # also serve the in-trace model dispatch (and vice versa).
+        from .autotuner import get_autotuner
+
+        self.autotuner = autotuner or get_autotuner()
         # Quantized kernels are opt-in PER FAMILY (ADVICE r3: fp8 opt-in
         # must not silently enable the ~1e-2-error int8 kernels): fp8
         # variants under quant_mode "fp8", int8 variants under "int8".

@@ -149,11 +149,31 @@ def dispatch_attention(
             sm_scale=sm_scale,
             need_weights=need_weights,
         )
+    # Tuned block profiles apply in-trace too (shapes are static under
+    # jit): the process-wide autotuner store is shared with the engine's
+    # self-driving block tuning, so a training step's flash calls run on
+    # blocks measured for this shape (VERDICT r3 #7).
+    bq = bkv = None
+    try:
+        if jax.default_backend() == "tpu":
+            from ..core.autotuner import Autotuner, get_autotuner
+
+            res = get_autotuner().lookup(
+                Autotuner.profile_key(
+                    q.shape[1], k.shape[1], q.shape[3], q.shape[0],
+                    q.shape[2],
+                )
+            )
+            if res is not None:
+                bq, bkv = res.block_q, res.block_kv
+    except Exception:  # noqa: BLE001 - profile lookup must never break dispatch
+        pass
     return (
         flash_attention(
             q, k, v, causal=causal, sm_scale=sm_scale,
             kv_lens=kv_lens, k_bias=k_bias,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            block_q=bq, block_kv=bkv,
         ),
         None,
     )
