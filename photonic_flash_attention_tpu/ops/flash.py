@@ -1627,18 +1627,29 @@ def flash_attention_with_lse(
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
+    kv_lens: Optional[jax.Array] = None,
+    k_bias: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flash attention also returning the per-row logsumexp.
 
     Returns (output (B, Sq, Hq, D), lse (B, Hq, Sq) fp32). The lse makes
     partial attention results mergeable across KV shards — the primitive
     ring attention is built from (fully-masked rows have lse = -inf and a
-    zero output row, so they drop out of the merge). Forward-only.
+    zero output row, so they drop out of the merge). ``kv_lens`` (B,)
+    int32 / ``k_bias`` (B, Skv) carry in-kernel key padding so ring
+    shards of a padded batch stay mergeable (lens past the shard end
+    clip to 0 → lse = -inf rows). Forward-only.
     """
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     if hq % hkv:
         raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
+    if kv_lens is not None and kv_lens.shape != (b,):
+        raise ValueError(f"kv_lens must be shape ({b},), got {kv_lens.shape}")
+    if k_bias is not None and k_bias.shape != (b, skv):
+        raise ValueError(
+            f"k_bias must be shape ({b}, {skv}), got {k_bias.shape}"
+        )
     scale = sm_scale if sm_scale is not None else d ** -0.5
     bq = block_q or _choose_block(sq, 512)
     bkv = block_kv or _choose_block(skv, 512)
@@ -1653,5 +1664,7 @@ def flash_attention_with_lse(
         bq,
         bkv,
         interp,
+        kv_lens=kv_lens,
+        k_bias=k_bias,
     )
     return o.transpose(0, 2, 1, 3), lse

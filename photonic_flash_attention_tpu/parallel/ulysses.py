@@ -40,12 +40,20 @@ def ulysses_attention(
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
+    kv_lens: Optional[jax.Array] = None,
+    k_bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Ulysses body — call inside ``shard_map``.
 
     Args:
       q/k/v: LOCAL shards (B, S_local, H, D); the global sequence is the
         concatenation over ``axis_name``. Requires H % axis_size == 0.
+      kv_lens: optional (B,) int32 GLOBAL valid key lengths (replicated
+        over the seq axis): after the all_to_all the full sequence is
+        device-resident, so they feed the local flash call unchanged.
+      k_bias: optional (B, S_local) LOCAL shard of a global (B, S)
+        additive per-key bias; all-gathered to the full sequence
+        (B*S*4 bytes — negligible next to the q/k/v re-shards).
 
     Returns the local output shard (B, S_local, H, D).
     """
@@ -66,6 +74,11 @@ def ulysses_attention(
     qh = scatter_heads(q)  # (B, S, H/n, D)
     kh = scatter_heads(k)
     vh = scatter_heads(v)
+    bias_full = (
+        jax.lax.all_gather(k_bias, axis_name, axis=1, tiled=True)
+        if k_bias is not None
+        else None
+    )
     oh = flash_attention(
         qh,
         kh,
@@ -75,6 +88,8 @@ def ulysses_attention(
         block_q=block_q,
         block_kv=block_kv,
         interpret=interpret,
+        kv_lens=kv_lens.astype(jnp.int32) if kv_lens is not None else None,
+        k_bias=bias_full,
     )
     del n
     return gather_heads(oh)
@@ -99,7 +114,8 @@ def make_ulysses_attention(
     axes = dict(mesh.shape)
     if seq_axis not in axes:
         raise DistributionError(f"mesh has no axis {seq_axis!r}")
-    spec = P(data_axis if data_axis in axes else None, seq_axis, None, None)
+    dspec = data_axis if data_axis in axes else None
+    spec = P(dspec, seq_axis, None, None)
 
     fn = functools.partial(
         ulysses_attention,
@@ -109,24 +125,53 @@ def make_ulysses_attention(
         block_q=block_q,
         block_kv=block_kv,
     )
-    mapped = jax.shard_map(
-        lambda q, k, v: fn(q, k, v),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_vma=False,
-    )
-    jitted = jax.jit(mapped)
+    _jitted: dict = {}
+
+    def _get(has_lens: bool, has_bias: bool):
+        key = (has_lens, has_bias)
+        j = _jitted.get(key)
+        if j is not None:
+            return j
+        in_specs = [spec, spec, spec]
+        if has_lens:
+            in_specs.append(P(dspec))  # (B,) replicated over seq
+        if has_bias:
+            in_specs.append(P(dspec, seq_axis))  # (B, S) seq-sharded
+
+        def body(q, k, v, *rest):
+            i = 0
+            kw = {}
+            if has_lens:
+                kw["kv_lens"] = rest[i]
+                i += 1
+            if has_bias:
+                kw["k_bias"] = rest[i]
+            return fn(q, k, v, **kw)
+
+        mapped = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=spec,
+            check_vma=False,
+        )
+        return _jitted.setdefault(key, jax.jit(mapped))
+
     n_seq = mesh.shape[seq_axis]
 
-    def with_checks_and_telemetry(q, k, v):
+    def with_checks_and_telemetry(q, k, v, kv_lens=None, k_bias=None):
         h = q.shape[2]
         if h % n_seq:
             raise DistributionError(
                 f"ulysses requires num_heads ({h}) % seq axis size "
                 f"({n_seq}) == 0; use ring attention instead"
             )
-        out = jitted(q, k, v)
+        args = [q, k, v]
+        if kv_lens is not None:
+            args.append(kv_lens)
+        if k_bias is not None:
+            args.append(k_bias)
+        out = _get(kv_lens is not None, k_bias is not None)(*args)
         try:
             from .telemetry import get_telemetry
 

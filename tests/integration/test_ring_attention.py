@@ -205,3 +205,127 @@ class TestRing64K:
             / jnp.linalg.norm(ref.astype(jnp.float32))
         )
         assert err < 2e-3, f"ring@64K rel err {err}"
+
+
+class TestRingKeyPadding:
+    """Ring attention over PADDED batches (VERDICT r3 weak #4): global
+    kv_lens clip per shard, k_bias shards rotate with KV. Oracle is the
+    dense-mask reference."""
+
+    @staticmethod
+    def _lens_mask(lens, skv):
+        keep = jnp.arange(skv, dtype=jnp.int32)[None] < lens[:, None]
+        return keep[:, None, None, :]
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_kv_lens_matches_oracle(self, rng, causal):
+        b, s, n_seq = 3, 512, 4
+        q, k, v = make_qkv(rng, b=b, s=s)
+        # Unaligned lens: mid-shard, one-shard, full-length.
+        lens = jnp.array([200, 128, s], jnp.int32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=causal
+        )
+        out = fn(q, k, v, kv_lens=lens)
+        ref, _ = attention_reference(
+            q, k, v, self._lens_mask(lens, s), causal=causal
+        )
+        assert_close(out, ref)
+
+    def test_k_bias_matches_oracle(self, rng):
+        b, s, n_seq = 2, 256, 2
+        q, k, v = make_qkv(rng, b=b, s=s)
+        k_bias = jnp.asarray(
+            rng.standard_normal((b, s)), jnp.float32
+        )
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(mesh, data_axis=None, model_axis=None)
+        out = fn(q, k, v, k_bias=k_bias)
+        ref, _ = attention_reference(
+            q, k, v, bias=k_bias[:, None, None, :]
+        )
+        assert_close(out, ref)
+
+    def test_lens_and_bias_combined(self, rng):
+        b, s, n_seq = 2, 512, 4
+        q, k, v = make_qkv(rng, b=b, s=s)
+        lens = jnp.array([300, 512], jnp.int32)
+        k_bias = jnp.asarray(rng.standard_normal((b, s)), jnp.float32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(mesh, data_axis=None, model_axis=None)
+        out = fn(q, k, v, kv_lens=lens, k_bias=k_bias)
+        ref, _ = attention_reference(
+            q, k, v, self._lens_mask(lens, s),
+            bias=k_bias[:, None, None, :],
+        )
+        assert_close(out, ref)
+
+    def test_short_lens_skip_far_shards(self, rng):
+        """Lens inside the first shard: later shards contribute nothing
+        (exercises the all-zero-lens shard skip path)."""
+        b, s, n_seq = 2, 1024, 8
+        q, k, v = make_qkv(rng, b=b, s=s)
+        lens = jnp.array([100, 60], jnp.int32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(mesh, data_axis=None, model_axis=None)
+        out = fn(q, k, v, kv_lens=lens)
+        ref, _ = attention_reference(q, k, v, self._lens_mask(lens, s))
+        assert_close(out, ref)
+
+    def test_data_sharded_batch_with_lens(self, rng):
+        """kv_lens shard on the data axis alongside the batch."""
+        b, s = 4, 256
+        q, k, v = make_qkv(rng, b=b, s=s)
+        lens = jnp.array([100, 256, 37, 200], jnp.int32)
+        mesh = create_mesh((2, 4), ("data", "seq"), jax.devices()[:8])
+        fn = make_ring_attention(mesh, model_axis=None, causal=True)
+        out = fn(q, k, v, kv_lens=lens)
+        ref, _ = attention_reference(
+            q, k, v, self._lens_mask(lens, s), causal=True
+        )
+        assert_close(out, ref)
+
+    def test_differentiable_ring_rejects_bias(self, rng):
+        q, k, v = make_qkv(rng, s=256)
+        bias = jnp.zeros((1, 256), jnp.float32)
+        mesh = create_mesh((2,), ("seq",), jax.devices()[:2])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, differentiable=True
+        )
+        with pytest.raises(NotImplementedError):
+            fn(q, k, v, k_bias=bias)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_padded_grads_match_oracle(self, rng, causal):
+        """Sequence-parallel TRAINING over a padded batch: both ring
+        passes thread kv_lens; grads match jax.grad through the
+        masked oracle (dk/dv vanish past each sequence's end)."""
+        b, s, n_seq = 2, 256, 4
+        q, k, v = make_qkv(rng, b=b, s=s)
+        lens = jnp.array([150, 256], jnp.int32)
+        keep = jnp.arange(s, dtype=jnp.int32)[None] < lens[:, None]
+        mask = keep[:, None, None, :]
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=causal,
+            differentiable=True,
+        )
+
+        def loss(q, k, v):
+            return jnp.sum(
+                fn(q, k, v, kv_lens=lens).astype(jnp.float32) ** 2
+            )
+
+        def ref_loss(q, k, v):
+            o, _ = attention_reference(q, k, v, mask, causal=causal)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        assert_close(dq, rq, rtol=2e-2, atol=2e-3)
+        assert_close(dk, rk, rtol=2e-2, atol=2e-3)
+        assert_close(dv, rv, rtol=2e-2, atol=2e-3)
+        # Keys past the end get exactly zero gradient.
+        assert float(jnp.max(jnp.abs(dk[0, 150:]))) == 0.0
+        assert float(jnp.max(jnp.abs(dv[0, 150:]))) == 0.0

