@@ -367,10 +367,11 @@ def main() -> None:
         ("flash_bf16_causal_b4_s4096_d128gqa", flash_d128, "bf16",
          (4, 4096, 32, 8, 128)),
         (
+            # No explicit blocks: the kernel's D-aware default picks
+            # 1024x1024 at D>=128 (measured +4-8% over 512x512,
+            # benchmarks/flash_d128_sweep.py).
             "flash_int8qk_causal_b4_s4096_d128gqa",
-            lambda q, k, v: flash_attention_int8qk(
-                q, k, v, causal=True, block_q=bq, block_kv=bkv
-            ),
+            lambda q, k, v: flash_attention_int8qk(q, k, v, causal=True),
             "int8qk",
             (4, 4096, 32, 8, 128),
         ),

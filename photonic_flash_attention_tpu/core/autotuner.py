@@ -63,14 +63,17 @@ def candidate_blocks(
         for bkv in (128, 256, 512, 1024, 2048):
             if bkv > max(_LANE, _p2(kv_len)):
                 continue
+            # Only the STREAMED tiles (q, k, v) are double-buffered by
+            # the Pallas pipeline; scores and scratch are single-copy.
+            # (The previous 2x-everything estimate wrongly excluded
+            # 1024x1024 at D=128 — the measured-fastest int8-QK tile,
+            # benchmarks/flash_d128_sweep.py.)
             vmem = (
-                bq * d * dtype_bytes  # q tile
-                + 2 * bkv * d * dtype_bytes  # k + v tiles
+                2 * (bq * d + 2 * bkv * d) * dtype_bytes  # q,k,v x2 buffers
                 + bq * bkv * 4  # fp32 scores
                 + bq * (2 * _LANE + d) * 4  # m, l, acc scratch
             )
-            # double-buffering head-room
-            if 2 * vmem <= _VMEM_BUDGET_BYTES:
+            if vmem <= _VMEM_BUDGET_BYTES:
                 out.append((bq, bkv))
     return out or [(128, 128)]
 

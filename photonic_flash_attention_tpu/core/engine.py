@@ -203,9 +203,11 @@ class AttentionEngine:
         n_seq = self._mesh.shape[self._mesh_axes["seq"]]
         if n_seq <= 1 or w.q_len % n_seq:
             return False
-        shard = w.q_len // n_seq
-        # Local flash shards need at least one full tile per device.
-        return shard >= 128 and shard % 128 == 0
+        # Local flash shards want at least one full tile per device;
+        # non-128-multiple shards are fine (the local flash call pads to
+        # block multiples in-kernel and masks the padded keys) — the
+        # measured router prices the padding waste per bucket.
+        return w.q_len // n_seq >= 128
 
     def _ulysses_feasible(self, w: WorkloadCharacteristics) -> bool:
         """Ulysses offer gate: a seq mesh axis whose size divides both the

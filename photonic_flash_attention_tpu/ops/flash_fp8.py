@@ -314,8 +314,8 @@ def flash_attention_int8qk(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """INT8-QK flash attention (inference only).
@@ -336,12 +336,22 @@ def flash_attention_int8qk(
     (reference tests/performance/test_benchmarks.py:280) — and V is not
     quantized at all.
     """
-    from .flash import _check_blocks, _flash_core_fwd_impl
+    from .flash import _check_blocks, _choose_block, _flash_core_fwd_impl
 
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     if hq % hkv:
         raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
+    # D-aware default tiles: at D>=128 this kernel measured fastest at
+    # 1024x1024 (+4-8% over 512x512 across causal/non-causal S=4-8K,
+    # benchmarks/flash_d128_sweep.py); at D=64 512x512 stays best. The
+    # bf16/fp8qk kernels measured flat-to-worse at 1024 and keep 512.
+    if block_q is None:
+        block_q = _choose_block(sq, 1024 if d >= 128 and sq % 1024 == 0 else 512)
+    if block_kv is None:
+        block_kv = _choose_block(
+            skv, 1024 if d >= 128 and skv % 1024 == 0 else 512
+        )
     _check_blocks(block_q, block_kv)
     scale = sm_scale if sm_scale is not None else d ** -0.5
     interp = resolve_interpret(interpret)
@@ -398,8 +408,8 @@ def flash_attention_fp8qk(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """FP8-QK flash attention (inference only).
@@ -418,12 +428,18 @@ def flash_attention_fp8qk(
     (photonic/optical_kernels/matrix_mult.py:161-276); north star "FP8
     flash prefill" (BASELINE.md).
     """
-    from .flash import _check_blocks, _flash_core_fwd_impl
+    from .flash import _check_blocks, _choose_block, _flash_core_fwd_impl
 
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     if hq % hkv:
         raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
+    # 512x512 default at every D: unlike int8-QK, this kernel measured
+    # flat-to-worse at 1024 tiles (benchmarks/flash_d128_sweep.py).
+    if block_q is None:
+        block_q = _choose_block(sq, 512)
+    if block_kv is None:
+        block_kv = _choose_block(skv, 512)
     _check_blocks(block_q, block_kv)
     scale = sm_scale if sm_scale is not None else d ** -0.5
     interp = resolve_interpret(interpret)
@@ -461,8 +477,8 @@ def flash_attention_int8full(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fully-INT8 flash attention with near-zero dequant work.
@@ -487,12 +503,16 @@ def flash_attention_int8full(
     1/127 steps adds ~4e-3; comfortably inside the reference's 0.1 gate
     (reference tests/performance/test_benchmarks.py:280).
     """
-    from .flash import _check_blocks, _flash_core_fwd_impl
+    from .flash import _check_blocks, _choose_block, _flash_core_fwd_impl
 
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     if hq % hkv:
         raise ValueError(f"Hq {hq} not divisible by Hkv {hkv} (GQA)")
+    if block_q is None:
+        block_q = _choose_block(sq, 512)
+    if block_kv is None:
+        block_kv = _choose_block(skv, 512)
     _check_blocks(block_q, block_kv)
     scale = sm_scale if sm_scale is not None else d ** -0.5
     interp = resolve_interpret(interpret)

@@ -177,6 +177,22 @@ class TestFullRegistry:
         out, _ = eng(q, k, v)
         assert eng.last_kernel_used in ("flash", "fused")
 
+    def test_ring_unaligned_shards(self, rng):
+        """Equal shards that are NOT 128-multiples still ride the ring:
+        the local flash call pads to block multiples in-kernel (1152/8 =
+        144 tokens per device)."""
+        from photonic_flash_attention_tpu.parallel.mesh import create_mesh
+
+        set_global_config(auto_kernel_selection=False, ring_threshold=1024)
+        mesh = create_mesh((8,), ("seq",), jax.devices()[:8])
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        eng.set_mesh(mesh, seq_axis="seq")
+        q, k, v = make_qkv(rng, b=1, s=1152, h=2, d=64)
+        out, _ = eng(q, k, v, causal=True)
+        assert eng.last_kernel_used == "ring"
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref, rtol=2e-3, atol=2e-3)
+
     def test_ulysses_selected_by_measured_router(self, rng):
         """VERDICT r3 #6: ULYSSES is in the registry and the MEASURED
         router picks it over ring for a heads-rich workload when its
