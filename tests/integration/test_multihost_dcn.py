@@ -58,6 +58,38 @@ _WORKER = textwrap.dedent(
     ))
     y = f(x)
     print("PSUM_OK", float(y), process_summary()["process_index"], flush=True)
+
+    # Ring attention ACROSS the process boundary: an 8-way seq ring whose
+    # ppermute hops cross DCN (4 devices per process). Every process
+    # builds identical inputs from a fixed seed; the distributed result
+    # must match the locally-computed oracle.
+    from photonic_flash_attention_tpu.ops.reference import attention_reference
+    from photonic_flash_attention_tpu.parallel.ring import make_ring_attention
+
+    seq_mesh = pod_mesh((8,), ("seq",), dcn_axis="seq")
+    rng = np.random.default_rng(7)
+    B, S, H, D = 1, 1024, 2, 64
+    qkv_np = [rng.standard_normal((B, S, H, D)).astype(np.float32) for _ in range(3)]
+    qspec = NamedSharding(seq_mesh, P(None, "seq", None, None))
+    q, k, v = (
+        jax.make_array_from_callback(a.shape, qspec, lambda idx, a=a: a[idx])
+        for a in qkv_np
+    )
+    ring = make_ring_attention(seq_mesh, data_axis=None, model_axis=None, causal=True)
+    out = ring(q, k, v)
+    ref, _ = attention_reference(*(jnp.asarray(a) for a in qkv_np), causal=True)
+    err = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert err < 2e-3, err
+    # padded batch over the cross-process ring (global kv_lens)
+    lens = jnp.array([700], jnp.int32)
+    out_p = ring(q, k, v, kv_lens=lens)
+    keep = jnp.arange(S, dtype=jnp.int32)[None] < lens[:, None]
+    ref_p, _ = attention_reference(
+        *(jnp.asarray(a) for a in qkv_np), keep[:, None, None, :], causal=True
+    )
+    err_p = float(jnp.linalg.norm(out_p - ref_p) / jnp.linalg.norm(ref_p))
+    assert err_p < 2e-3, err_p
+    print(f"RING_OK {err:.5f} {err_p:.5f}", flush=True)
     """
 )
 
@@ -94,3 +126,4 @@ def test_two_process_dcn_psum(tmp_path):
     for rc, out in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{out[-2000:]}"
         assert "PSUM_OK 32.0" in out, out[-2000:]
+        assert "RING_OK" in out, out[-2000:]
