@@ -39,6 +39,13 @@ def main() -> None:
         )
         print(f"ulysses attention: rel err vs ring = {err:.2e}")
 
+    # Padded batch: global valid key lengths ride the ring — each step
+    # clips them to the resident shard, shards past every sequence's end
+    # skip compute entirely.
+    lens = jnp.array([S // 2 + 37], jnp.int32)
+    out_padded = ring(q, k, v, kv_lens=lens)
+    print(f"padded ring (kv_lens={int(lens[0])}/{S}): {out_padded.shape}")
+
     print("collective telemetry:", get_telemetry().get_stats())
 
 
