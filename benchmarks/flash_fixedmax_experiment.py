@@ -56,6 +56,7 @@ def _kernel(
     block_q: int,
     block_kv: int,
     num_kv_blocks: int,
+    fast_exp: bool = False,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -90,7 +91,20 @@ def _kernel(
         fm = fm_ref[0, 0]  # (block_q, 128)
         rep = block_kv // NUM_LANES
         fm_w = fm if rep == 1 else jnp.tile(fm, (1, rep))
-        p = jnp.exp(s - fm_w)  # <= exp(0); no running max, no alpha
+        x = s - fm_w
+        if fast_exp:
+            # Schraudolph bit-trick exp: one FMA + cast + bitcast instead
+            # of the transcendental (~2% rel err on p; normalization
+            # cancels part of it). x <= 0 here so no overflow; clamp the
+            # underflow side to the denormal boundary.
+            xi = jnp.clip(
+                x * jnp.float32(12102203.0) + jnp.float32(1064986823.0),
+                jnp.float32(8388608.0),
+                jnp.float32(2139095039.0),
+            ).astype(jnp.int32)
+            p = jax.lax.bitcast_convert_type(xi, jnp.float32)
+        else:
+            p = jnp.exp(x)  # <= exp(0); no running max, no alpha
         l_scratch[:] = l_scratch[:] + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot(
             p.astype(v_ref.dtype), v_ref[0, 0],
@@ -110,7 +124,7 @@ def _kernel(
 
 
 def flash_fixedmax(q, k, v, *, causal=False, sm_scale=None, block_q=512,
-                   block_kv=512):
+                   block_kv=512, fast_exp=False):
     """q/k/v: (B, S, H, D) -> (B, S, H, D). Minimal: no GQA, S % block == 0."""
     b, s, h, d = q.shape
     scale = sm_scale if sm_scale is not None else d ** -0.5
@@ -133,6 +147,7 @@ def flash_fixedmax(q, k, v, *, causal=False, sm_scale=None, block_q=512,
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=s // block_kv,
+        fast_exp=fast_exp,
     )
     out = pl.pallas_call(
         kernel,
@@ -209,6 +224,12 @@ def main():
         t_fixed = bench(
             functools.partial(flash_fixedmax, causal=causal), q, k, v
         )
+        t_fast = bench(
+            functools.partial(flash_fixedmax, causal=causal, fast_exp=True),
+            q, k, v,
+        )
+        out_f = flash_fixedmax(qs, ks, vs, causal=causal, fast_exp=True)
+        err_f = float(jnp.linalg.norm(out_f - ref) / jnp.linalg.norm(ref))
         t_base = bench(
             functools.partial(
                 flash_attention, causal=causal, block_q=512, block_kv=512
@@ -217,8 +238,9 @@ def main():
         )
         print(
             f"{name}: fixedmax {t_fixed*1e3:.3f} ms ({flops/t_fixed/1e12:.1f}"
-            f" TF/s) vs flash {t_base*1e3:.3f} ms ({flops/t_base/1e12:.1f})"
-            f"  rel-err {err:.2e}",
+            f" TF/s) fastexp {t_fast*1e3:.3f} ms ({flops/t_fast/1e12:.1f})"
+            f" vs flash {t_base*1e3:.3f} ms ({flops/t_base/1e12:.1f})"
+            f"  rel-err {err:.2e} fast-err {err_f:.2e}",
             flush=True,
         )
 
