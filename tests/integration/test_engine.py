@@ -177,6 +177,24 @@ class TestFullRegistry:
         out, _ = eng(q, k, v)
         assert eng.last_kernel_used in ("flash", "fused")
 
+    def test_ring_serves_scattered_key_mask(self, rng):
+        """A scattered (non-prefix) key mask converts to k_bias (not
+        kv_lens) and still rides the ring (bias shards rotate with KV)."""
+        from photonic_flash_attention_tpu.parallel.mesh import create_mesh
+
+        set_global_config(auto_kernel_selection=False, ring_threshold=1024)
+        mesh = create_mesh((8,), ("seq",), jax.devices()[:8])
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        eng.set_mesh(mesh, seq_axis="seq")
+        q, k, v = make_qkv(rng, b=2, s=1024, h=2, d=64)
+        keep = jnp.asarray(rng.random((2, 1024)) > 0.3)
+        keep = keep.at[:, 0].set(True)  # no fully-masked rows
+        mask = keep[:, None, None, :]
+        out, _ = eng(q, k, v, mask)
+        assert eng.last_kernel_used == "ring"
+        ref, _ = attention_reference(q, k, v, mask)
+        assert_close(out, ref, rtol=2e-3, atol=2e-3)
+
     def test_ring_unaligned_shards(self, rng):
         """Equal shards that are NOT 128-multiples still ride the ring:
         the local flash call pads to block multiples in-kernel (1152/8 =
