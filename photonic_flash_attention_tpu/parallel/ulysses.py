@@ -166,6 +166,14 @@ def make_ulysses_attention(
                 f"ulysses requires num_heads ({h}) % seq axis size "
                 f"({n_seq}) == 0; use ring attention instead"
             )
+        hkv = k.shape[2]
+        if hkv % n_seq:
+            # GQA: the all_to_all splits the KV head axis too — an
+            # indivisible Hkv would fail deep inside the collective.
+            raise DistributionError(
+                f"ulysses requires num_kv_heads ({hkv}) % seq axis size "
+                f"({n_seq}) == 0 (GQA); use ring attention instead"
+            )
         args = [q, k, v]
         if kv_lens is not None:
             args.append(kv_lens)

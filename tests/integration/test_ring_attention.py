@@ -329,3 +329,23 @@ class TestRingKeyPadding:
         # Keys past the end get exactly zero gradient.
         assert float(jnp.max(jnp.abs(dk[0, 150:]))) == 0.0
         assert float(jnp.max(jnp.abs(dv[0, 150:]))) == 0.0
+
+
+class TestRingGQAPadded:
+    def test_gqa_with_kv_lens(self, rng):
+        """GQA (Hkv < Hq) composed with key padding through the ring."""
+        b, s, hq, hkv, d, n_seq = 2, 512, 8, 2, 64, 4
+        q = jnp.asarray(rng.standard_normal((b, s, hq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+        lens = jnp.array([300, 512], jnp.int32)
+        keep = jnp.arange(s, dtype=jnp.int32)[None] < lens[:, None]
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=True
+        )
+        out = fn(q, k, v, kv_lens=lens)
+        ref, _ = attention_reference(
+            q, k, v, keep[:, None, None, :], causal=True
+        )
+        assert_close(out, ref)

@@ -6,6 +6,7 @@ Same virtual-mesh strategy as the ring tests (SURVEY.md §4): real
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from photonic_flash_attention_tpu.ops.reference import attention_reference
@@ -143,3 +144,27 @@ class TestUlyssesKeyPadding:
         assert_close(
             uly(q, k, v, kv_lens=lens), ring(q, k, v, kv_lens=lens)
         )
+
+
+class TestUlyssesGQA:
+    def test_gqa_matches_oracle(self, rng):
+        """GQA through ulysses: both head axes divide the seq axis."""
+        b, s, hq, hkv, d, n_seq = 1, 512, 8, 4, 64, 4
+        np_rng = np.random.default_rng(3)
+        q = jnp.asarray(np_rng.standard_normal((b, s, hq, d)), jnp.float32)
+        k = jnp.asarray(np_rng.standard_normal((b, s, hkv, d)), jnp.float32)
+        v = jnp.asarray(np_rng.standard_normal((b, s, hkv, d)), jnp.float32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ulysses_attention(mesh, data_axis=None, causal=True)
+        out = fn(q, k, v)
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref)
+
+    def test_gqa_indivisible_kv_heads_rejected(self, rng):
+        np_rng = np.random.default_rng(3)
+        q = jnp.asarray(np_rng.standard_normal((1, 512, 8, 64)), jnp.float32)
+        k = jnp.asarray(np_rng.standard_normal((1, 512, 2, 64)), jnp.float32)
+        mesh = create_mesh((4,), ("seq",), jax.devices()[:4])
+        fn = make_ulysses_attention(mesh, data_axis=None)
+        with pytest.raises(DistributionError):
+            fn(q, k, k)
