@@ -221,6 +221,9 @@ class AttentionEngine:
         n_seq = self._mesh.shape[self._mesh_axes["seq"]]
         if n_seq <= 1 or w.num_heads % n_seq or w.q_len % n_seq:
             return False
+        # GQA: the all_to_all splits the KV head axis too.
+        if (w.num_kv_heads or w.num_heads) % n_seq:
+            return False
         return (w.q_len // n_seq) % 128 == 0
 
     def _available_kernels(
@@ -546,6 +549,7 @@ class AttentionEngine:
             need_weights=need_weights,
             is_decode=(sq == 1),
             dtype=str(q.dtype),
+            num_kv_heads=k.shape[2],
         )
 
         cfg = get_config()

@@ -67,6 +67,10 @@ class WorkloadCharacteristics:
     need_weights: bool = False
     is_decode: bool = False
     dtype: str = "bfloat16"
+    #: GQA KV head count; None = num_heads (MHA). Deliberately NOT part
+    #: of bucket(): persisted latency tables stay valid, and same-Hq
+    #: different-Hkv collisions are rare enough to share a bucket.
+    num_kv_heads: Optional[int] = None
 
     @property
     def has_mask(self) -> bool:

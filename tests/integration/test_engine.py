@@ -299,6 +299,25 @@ class TestFullRegistry:
         ref, _ = attention_reference(q, k, v, mask)
         assert_close(out, ref, rtol=2e-3, atol=2e-3)
 
+    def test_ulysses_not_offered_for_gqa_indivisible_kv_heads(self, rng):
+        """Hq divides the axis but Hkv does not: ulysses must not be
+        offered (the all_to_all splits the KV head axis too); ring
+        remains available."""
+        from photonic_flash_attention_tpu.core.router import (
+            WorkloadCharacteristics,
+        )
+        from photonic_flash_attention_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh((8,), ("seq",), jax.devices()[:8])
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        eng.set_mesh(mesh, seq_axis="seq")
+        w = WorkloadCharacteristics(
+            batch_size=1, q_len=1024, kv_len=1024, num_heads=16,
+            head_dim=64, num_kv_heads=2,
+        )
+        kinds = [k.value for k in eng._available_kernels(w)]
+        assert "ulysses" not in kinds and "ring" in kinds
+
     def test_paged_decode_through_router(self, rng):
         """Decode (Sq=1) dispatches to the paged kernel via the router."""
         set_global_config(auto_kernel_selection=False)
