@@ -778,8 +778,8 @@ class AttentionEngine:
             dtype = self._ENERGY_DTYPE.get(kind.value, "bf16")
             if w.is_decode:
                 cost = attention_decode_cost(
-                    w.batch_size, w.kv_len, w.num_heads, w.num_heads,
-                    w.head_dim,
+                    w.batch_size, w.kv_len, w.num_heads,
+                    w.num_kv_heads or w.num_heads, w.head_dim,
                 )
             else:
                 cost = attention_prefill_cost(
