@@ -1,0 +1,106 @@
+"""Energy-per-token table — the honest counterpart of the reference's
+README centerpiece (reference README.md:408-414: "GPU vs photonic
+nJ/token" at seq 512-8192, from flat J/op constants on unspecified
+hardware).
+
+Here: MEASURED per-call latency (scan-chained linear fit) for the
+XLA-fused baseline vs the Pallas flash path at the same grid, energy
+from the documented roofline model (hardware/roofline.py:
+flops*e_flop + hbm_bytes*e_byte + P_static*t) — the fused path is
+charged for its materialized (B, H, Sq, Skv) score tensor, which is
+exactly why its energy curve blows up quadratically like the
+reference's "GPU" column.
+
+Run on TPU: python benchmarks/energy_table.py
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from photonic_flash_attention_tpu.hardware.detection import (  # noqa: E402
+    TPUCapabilities,
+)
+from photonic_flash_attention_tpu.hardware.roofline import (  # noqa: E402
+    attention_prefill_cost,
+    kernel_energy_mj,
+)
+from photonic_flash_attention_tpu.ops.flash import flash_attention  # noqa: E402
+from photonic_flash_attention_tpu.ops.reference import (  # noqa: E402
+    attention_reference,
+)
+
+V5E = TPUCapabilities(
+    generation="v5e", bf16_tflops=197.0, int8_tops=394.0,
+    hbm_gb=16.0, hbm_gbps=820.0, vmem_mb=128.0, ici_gbps=180.0,
+)
+
+
+def _timed(fn, q, k, v, iters, repeats=3):
+    @functools.partial(jax.jit, static_argnums=3)
+    def many(q, k, v, n):
+        def body(c, _):
+            return fn(c, k, v).astype(c.dtype), None
+
+        out, _ = jax.lax.scan(body, q, None, length=n)
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(many(q, k, v, iters))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(many(q, k, v, iters))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench(fn, q, k, v, iters=(8, 40)):
+    lo, hi = iters
+    return (_timed(fn, q, k, v, hi) - _timed(fn, q, k, v, lo)) / (hi - lo)
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    b, h, d = 1, 12, 64
+    print("seq | fused ms / nJ-tok | flash ms / nJ-tok | ratio")
+    for s in (512, 1024, 2048, 4096, 8192):
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        # Small sizes run in single-digit us: scale the chain length so
+        # the fit spans well above timer/fetch noise.
+        iters = (200, 2000) if s <= 1024 else (8, 40)
+        t_fused = bench(
+            lambda q, k, v: attention_reference(q, k, v, causal=True)[0],
+            q, k, v, iters=iters,
+        )
+        t_flash = bench(
+            functools.partial(flash_attention, causal=True), q, k, v,
+            iters=iters,
+        )
+        cost = attention_prefill_cost(b, s, s, h, d, causal=True, caps=V5E)
+        # Fused: the (B, H, Sq, Skv) score tensor is written + read in HBM.
+        fused_cost = attention_prefill_cost(b, s, s, h, d, causal=True, caps=V5E)
+        fused_cost.hbm_bytes += 4.0 * b * h * s * s * 2
+        e_flash = kernel_energy_mj(cost, t_flash * 1e3)
+        e_fused = kernel_energy_mj(fused_cost, t_fused * 1e3)
+        tok = b * s
+        nj_flash = e_flash * 1e6 / tok  # mJ -> nJ
+        nj_fused = e_fused * 1e6 / tok
+        print(
+            f"{s:5d} | {t_fused*1e3:7.3f} / {nj_fused:8.1f} | "
+            f"{t_flash*1e3:7.3f} / {nj_flash:8.1f} | {nj_fused/nj_flash:.2f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
