@@ -70,7 +70,7 @@ def bench(fn, q, k, v, iters=(8, 40)):
 def main() -> None:
     rng = np.random.default_rng(0)
     b, h, d = 1, 12, 64
-    print("seq | fused ms / nJ-tok | flash ms / nJ-tok | ratio")
+    print("seq | fused ms / nJ-tok | flash ms / nJ-tok | int8qk ms / nJ-tok | fused/flash")
     for s in (512, 1024, 2048, 4096, 8192):
         q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
@@ -86,18 +86,33 @@ def main() -> None:
             functools.partial(flash_attention, causal=True), q, k, v,
             iters=iters,
         )
+        from photonic_flash_attention_tpu.ops.flash_fp8 import (
+            flash_attention_int8qk,
+        )
+
+        t_qk = bench(
+            functools.partial(flash_attention_int8qk, causal=True), q, k, v,
+            iters=iters,
+        )
         cost = attention_prefill_cost(b, s, s, h, d, causal=True, caps=V5E)
         # Fused: the (B, H, Sq, Skv) score tensor is written + read in HBM.
         fused_cost = attention_prefill_cost(b, s, s, h, d, causal=True, caps=V5E)
         fused_cost.hbm_bytes += 4.0 * b * h * s * s * 2
         e_flash = kernel_energy_mj(cost, t_flash * 1e3)
         e_fused = kernel_energy_mj(fused_cost, t_fused * 1e3)
+        # int8-QK: the score matmul runs on the int8 MXU path.
+        qk_cost = attention_prefill_cost(
+            b, s, s, h, d, causal=True, dtype="int8", caps=V5E
+        )
+        e_qk = kernel_energy_mj(qk_cost, t_qk * 1e3, dtype="int8")
         tok = b * s
         nj_flash = e_flash * 1e6 / tok  # mJ -> nJ
         nj_fused = e_fused * 1e6 / tok
+        nj_qk = e_qk * 1e6 / tok
         print(
             f"{s:5d} | {t_fused*1e3:7.3f} / {nj_fused:8.1f} | "
-            f"{t_flash*1e3:7.3f} / {nj_flash:8.1f} | {nj_fused/nj_flash:.2f}x",
+            f"{t_flash*1e3:7.3f} / {nj_flash:8.1f} | "
+            f"{t_qk*1e3:7.3f} / {nj_qk:8.1f} | {nj_fused/nj_flash:.2f}x",
             flush=True,
         )
 
