@@ -170,6 +170,103 @@ def roofline_fraction(measured_us: float, cost: KernelCost) -> float:
     return cost.t_roofline_us / max(measured_us, 1e-9)
 
 
+# -- composite (measured-rate) roofline -----------------------------------
+
+#: Default measured device rates on the v5e this repo benches on
+#: (round 5, clean linear-fit methodology — see bench.py docstring and
+#: ops/device_probes.py). Overridden per-run by bench.py with the rates
+#: it just measured.
+V5E_MEASURED_RATES = {
+    "hbm_read_Bps": 750e9,  # ops/hbm_bw.py, 4 MB chunks, sustained
+    # ASYMPTOTIC softmax-stream rate (1/b of the linear per-tile model
+    # t = a + b*elems, ops/device_probes.measure_softmax_linear). At
+    # finite tile sizes the effective rate is lower (a ~ 170 ns fixed
+    # per block update): 273 G at 64K-elem tiles, 521 G at 196K.
+    "vpu_softmax_elems_per_s": 900e9,
+    "vpu_softmax_fixed_s_per_tile": 170e-9,
+    "vpu_exp_elems_per_s": 1.5e12,  # ops/device_probes.measure_exp_rate
+}
+
+
+def attention_composite_ceiling(
+    batch: int,
+    q_len: int,
+    kv_len: int,
+    num_heads: int,
+    head_dim: int,
+    *,
+    causal: bool = False,
+    score_dtype: str = "bf16",
+    pv_dtype: str = "bf16",
+    io_dtype: str = "bf16",
+    num_kv_heads: Optional[int] = None,
+    rates: Optional[Dict] = None,
+    caps: Optional[TPUCapabilities] = None,
+) -> Dict:
+    """Per-geometry speed-of-light for a flash-attention forward,
+    combining the three units the kernel exercises (VERDICT r4 #3):
+
+    * **MXU**: QK^T at the score dtype's rate + P.V at the PV dtype's
+      rate, derated by MXU lane underfill below head_dim 128,
+    * **VPU**: one online-softmax stream pass per score element at the
+      measured ASYMPTOTIC stream rate (~900 Gelem/s on v5e;
+      ops/device_probes.measure_softmax_linear),
+    * **HBM**: q/k/v read + o write at the measured read bandwidth.
+
+    Ceiling = max of the three times (perfect-overlap speed of light).
+    Score elements are the REQUIRED ones (S_q*S_kv/2 for causal):
+    diagonal-tile overshoot is an implementation cost and counts against
+    the kernel, not the ceiling.
+
+    Round-5 finding this model exposed: the measured flash kernels sit
+    at the SERIAL sum t_vpu(tile) + t_mxu(tile) per tile (within ~6% on
+    every geometry) — per-tile VPU<->MXU serialization, not exp
+    throughput (r4's conclusion), is the real wall; % of this composite
+    is therefore bounded near t_mxu/(t_mxu + t_vpu) until softmax of
+    tile i overlaps the matmuls of tile i+1. See docs/kernels.md.
+
+    Returns a dict with each term (us), the binding unit, and the
+    ceiling time; divide by a measured time for ``pct_of_composite``.
+    """
+    c = _caps(caps)
+    r = dict(V5E_MEASURED_RATES)
+    if rates:
+        r.update({k: v for k, v in rates.items() if v})
+    frac = 0.5 if causal and q_len == kv_len else 1.0
+    n_scores = batch * num_heads * q_len * kv_len * frac
+    mxu_eff = min(1.0, head_dim / 128.0)
+
+    def mxu_rate(dtype: str) -> float:
+        peak = c.int8_tops if dtype in ("int8",) else c.bf16_tflops
+        return peak * 1e12 * mxu_eff
+
+    t_mxu_s = 2.0 * n_scores * head_dim / mxu_rate(score_dtype)
+    t_mxu_s += 2.0 * n_scores * head_dim / mxu_rate(pv_dtype)
+    t_vpu_s = n_scores / r["vpu_softmax_elems_per_s"]
+    hkv = num_kv_heads or num_heads
+    b = _DTYPE_BYTES[io_dtype]
+    hbm_bytes = (
+        batch * num_heads * q_len * head_dim * b * 2  # q read + o write
+        + batch * hkv * kv_len * head_dim * b * 2  # k + v read
+    )
+    t_hbm_s = hbm_bytes / r["hbm_read_Bps"]
+    t_ceiling = max(t_mxu_s, t_vpu_s, t_hbm_s)
+    bound = {t_mxu_s: "mxu", t_vpu_s: "vpu", t_hbm_s: "hbm"}[t_ceiling]
+    return {
+        "t_mxu_us": t_mxu_s * 1e6,
+        "t_vpu_us": t_vpu_s * 1e6,
+        "t_hbm_us": t_hbm_s * 1e6,
+        "t_ceiling_us": t_ceiling * 1e6,
+        "bound": bound,
+        "n_scores": n_scores,
+    }
+
+
+def composite_fraction(measured_us: float, ceiling: Dict) -> float:
+    """measured time -> fraction of the composite speed of light."""
+    return ceiling["t_ceiling_us"] / max(measured_us, 1e-9)
+
+
 # -- energy model ---------------------------------------------------------
 
 # Analytic per-operation energy constants (documented ESTIMATES, not
@@ -181,7 +278,17 @@ def roofline_fraction(measured_us: float, cost: KernelCost) -> float:
 # exactly why a bytes-aware model re-ranks kernels that a latency x watts
 # model cannot (VERDICT r3 weak #6: int8-KV's halved HBM traffic was
 # invisible to `latency * 170 W`).
-PJ_PER_FLOP = {"bf16": 0.30, "fp16": 0.30, "f32": 0.60, "int8": 0.12, "fp8": 0.12}
+PJ_PER_FLOP = {
+    "bf16": 0.30,
+    "fp16": 0.30,
+    "f32": 0.60,
+    "int8": 0.12,
+    "fp8": 0.12,
+    # QK-only quantized kernels: score matmul at the int8/fp8 energy,
+    # P.V at bf16 — flops split 50/50 (engine._ENERGY_DTYPE).
+    "int8qk": 0.21,
+    "fp8qk": 0.21,
+}
 PJ_PER_HBM_BYTE = 40.0
 #: power drawn regardless of work (clocks, SerDes, DRAM refresh) — the
 #: balance of the ~170 W board power not attributable to the op streams.

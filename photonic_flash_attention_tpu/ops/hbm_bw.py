@@ -33,7 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_utils import resolve_interpret
 
-_CHUNK_ROWS = 2048  # x 512 lanes x 2B = 2 MB per DMA
+# Round-5 calibration (clean linear-fit methodology, differenced device
+# time >= 50 ms so the ~24 ms tunneled host round-trip cancels): 2 MB
+# chunks sustain ~750 GB/s and 4 MB chunks the same; the round-4 default
+# of 2 MB measured 725-736 GB/s only because its fit window was too
+# small. 4 MB (2 slots = 8 MB VMEM) stays under the 16 MB scoped-vmem
+# limit and is the bench default.
+_CHUNK_ROWS = 4096  # x 512 lanes x 2B = 4 MB per DMA
 
 
 def _read_kernel(x_hbm, o_ref, buf, sems, *, num_chunks: int):
@@ -65,7 +71,7 @@ def _read_kernel(x_hbm, o_ref, buf, sems, *, num_chunks: int):
 
 
 def hbm_read_probe(x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
-    """Read every byte of ``x`` ((rows, 512), rows % 2048 == 0); returns
+    """Read every byte of ``x`` ((rows, 512), rows % 4096 == 0); returns
     an (8, 512) slice so callers can force completion cheaply.
 
     Pass ``x`` as a jit argument (see module docstring note 2).
