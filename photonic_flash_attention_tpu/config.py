@@ -48,6 +48,15 @@ class GlobalConfig:
     #: call (the in-band version of the reference's background
     #: re-optimizer, autonomous_optimizer.py:167-191).
     auto_block_tuning: bool = True
+    #: energy-aware kernel arbitration weight in [0, 1] (VERDICT r4 #10;
+    #: the reference's latency-vs-energy framing, hybrid_router.py:599-611,
+    #: with measured numbers). 0 = rank kernels purely by measured
+    #: latency (default); w > 0 ranks by
+    #: ``(1-w)*latency_ms + w*energy_mj/board_watts`` — the energy term
+    #: expressed as the time an equal-energy kernel would take at board
+    #: power, so int8-QK's lower HBM traffic can break near-latency ties
+    #: (benchmarks/energy_table.py shows it winning both from S=4K).
+    energy_weight: float = 0.0
 
     # --- quantization (reference: 6-bit modulator, matrix_mult.py:36) ---
     #: default quantization mode for attention activations:
@@ -112,6 +121,7 @@ _ENV_OVERRIDES: Tuple[Tuple[str, str, Any], ...] = (
     ("PFA_ENABLE_PROFILING", "enable_profiling", lambda v: v.lower() in ("1", "true", "yes")),
     ("PFA_AUTO_KERNEL_SELECTION", "auto_kernel_selection", lambda v: v.lower() in ("1", "true", "yes")),
     ("PFA_AUTO_BLOCK_TUNING", "auto_block_tuning", lambda v: v.lower() in ("1", "true", "yes")),
+    ("PFA_ENERGY_WEIGHT", "energy_weight", float),
 )
 
 _config_lock = threading.Lock()

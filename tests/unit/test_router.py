@@ -152,3 +152,141 @@ def test_save_load_roundtrips_measurement_freshness(tmp_path):
     r3 = AdaptiveRouter(seed=0, state_path=path)
     assert r3.predicted_latency(KernelKind.FLASH, w) == 0.7
     assert r3.needs_measurement(KernelKind.FLASH, w)
+
+
+class TestGQABuckets:
+    def test_gqa_and_mha_get_distinct_buckets(self):
+        """VERDICT r4 #8: num_kv_heads is part of the bucket key."""
+        mha = wc(q_len=1024, num_heads=8)
+        gqa = wc(q_len=1024, num_heads=8, num_kv_heads=2)
+        assert mha.bucket() != gqa.bucket()
+        # None == Hq: explicit MHA and default share a bucket.
+        assert mha.bucket() == wc(q_len=1024, num_heads=8, num_kv_heads=8).bucket()
+
+    def test_v1_profile_migrates_as_mha(self, tmp_path):
+        """A v1 (10-element bucket) profile loads with Hkv assumed = Hq."""
+        import json
+
+        w = wc(q_len=512, num_heads=8)
+        v2_bucket = list(w.bucket())
+        v1_bucket = v2_bucket[:4] + v2_bucket[5:]  # drop the Hkv slot
+        path = tmp_path / "router_v1.json"
+        path.write_text(
+            json.dumps(
+                {
+                    "version": 1,
+                    "latency": {
+                        "flash": [
+                            {"bucket": v1_bucket, "value": 3.5, "count": 2}
+                        ]
+                    },
+                }
+            )
+        )
+        r = AdaptiveRouter(exploration_rate=0.0, seed=0, state_path=str(path))
+        assert r.predicted_latency(KernelKind.FLASH, w) == pytest.approx(3.5)
+        # Loaded-without-timestamp entries are stale -> re-measured.
+        assert r.needs_measurement(KernelKind.FLASH, w)
+        assert r.has_measurement(KernelKind.FLASH, w)
+
+
+class TestDominancePruning:
+    AVAIL3 = (KernelKind.FUSED, KernelKind.FLASH, KernelKind.FLASH_INT8QK)
+
+    def _teach(self, r, loser, winner, n_buckets=3, margin=3.0):
+        """Measure winner beating loser by `margin`x in n distinct buckets."""
+        for i in range(n_buckets):
+            w = wc(q_len=512 * (2 ** i))
+            for _ in range(2):
+                r.update_performance(loser, w, 10.0)
+                r.update_performance(winner, w, 10.0 / margin)
+
+    def test_dominated_kernel_not_measured_in_new_bucket(self):
+        r = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        self._teach(r, KernelKind.FLASH_INT8QK, KernelKind.FLASH)
+        # Fresh bucket: FUSED and FLASH are unmeasured there; INT8QK is
+        # dominated by FLASH and must never be offered for measurement.
+        w_new = wc(q_len=8192)
+        chosen = set()
+        for _ in range(12):
+            k = r.select_kernel(w_new, self.AVAIL3)
+            chosen.add(k)
+            r.update_performance(k, w_new, 1.0)
+        assert KernelKind.FLASH_INT8QK not in chosen
+        assert r.get_stats()["measurements_pruned"].get("flash_int8qk", 0) > 0
+
+    def test_close_races_are_not_pruned(self):
+        """A <20% margin must NOT suppress measurement."""
+        r = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        self._teach(r, KernelKind.FLASH_INT8QK, KernelKind.FLASH, margin=1.1)
+        w_new = wc(q_len=8192)
+        chosen = set()
+        for _ in range(12):
+            k = r.select_kernel(w_new, self.AVAIL3)
+            chosen.add(k)
+            r.update_performance(k, w_new, 1.0)
+        assert KernelKind.FLASH_INT8QK in chosen
+
+    def test_two_shared_buckets_insufficient(self):
+        r = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        self._teach(r, KernelKind.FLASH_INT8QK, KernelKind.FLASH, n_buckets=2)
+        w_new = wc(q_len=8192)
+        chosen = set()
+        for _ in range(12):
+            k = r.select_kernel(w_new, self.AVAIL3)
+            chosen.add(k)
+            r.update_performance(k, w_new, 1.0)
+        assert KernelKind.FLASH_INT8QK in chosen
+
+    def test_fresh_bucket_single_warmup_choice_per_call(self):
+        """Measurement budget (VERDICT r4 #7): each call to select_kernel
+        nominates at most ONE kernel for measurement; a fresh bucket's
+        first call never triggers more than one scan-fit."""
+        r = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        w = wc(q_len=4096)
+        k1 = r.select_kernel(w, self.AVAIL3)
+        # Until that measurement is recorded, repeated calls nominate the
+        # same single kernel (no multi-kernel warmup storm in one call).
+        assert r.select_kernel(w, self.AVAIL3) == k1
+
+
+class TestEnergyArbitration:
+    """VERDICT r4 #10: config.energy_weight blends measured latency with
+    the roofline-energy estimate so lower-HBM-traffic kernels win ties."""
+
+    def _measured_router(self, energy):
+        r = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        r.energy_model = energy
+        w = wc(q_len=1024)
+        for _ in range(3):
+            # FLASH marginally faster; INT8QK much cheaper energetically.
+            r.update_performance(KernelKind.FLASH, w, 1.00)
+            r.update_performance(KernelKind.FLASH_INT8QK, w, 1.05)
+        return r, w
+
+    @staticmethod
+    def _energy(kind, w, lat):
+        return 30.0 if kind == KernelKind.FLASH_INT8QK else 300.0
+
+    def test_default_ranks_by_latency(self):
+        r, w = self._measured_router(self._energy)
+        avail = (KernelKind.FLASH, KernelKind.FLASH_INT8QK)
+        assert r.select_kernel(w, avail) == KernelKind.FLASH
+
+    def test_energy_weight_flips_near_tie(self):
+        set_global_config(energy_weight=0.5)
+        r, w = self._measured_router(self._energy)
+        avail = (KernelKind.FLASH, KernelKind.FLASH_INT8QK)
+        # scores: flash 0.5*1.0 + 0.5*(300/170)=1.38; int8qk 0.5*1.05
+        # + 0.5*(30/170)=0.61 -> int8qk wins.
+        assert r.select_kernel(w, avail) == KernelKind.FLASH_INT8QK
+
+    def test_energy_model_failure_falls_back_to_latency(self):
+        set_global_config(energy_weight=0.5)
+
+        def broken(kind, w, lat):
+            raise RuntimeError("no device")
+
+        r, w = self._measured_router(broken)
+        avail = (KernelKind.FLASH, KernelKind.FLASH_INT8QK)
+        assert r.select_kernel(w, avail) == KernelKind.FLASH
