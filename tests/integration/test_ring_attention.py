@@ -286,15 +286,16 @@ class TestRingKeyPadding:
         )
         assert_close(out, ref)
 
-    def test_differentiable_ring_rejects_bias(self, rng):
+    def test_differentiable_ring_accepts_bias(self, rng):
+        """Round 5 (VERDICT r4 #6): the differentiable ring threads
+        k_bias; a zero bias must match the no-bias forward exactly."""
         q, k, v = make_qkv(rng, s=256)
         bias = jnp.zeros((1, 256), jnp.float32)
         mesh = create_mesh((2,), ("seq",), jax.devices()[:2])
         fn = make_ring_attention(
             mesh, data_axis=None, model_axis=None, differentiable=True
         )
-        with pytest.raises(NotImplementedError):
-            fn(q, k, v, k_bias=bias)
+        assert_close(fn(q, k, v, k_bias=bias), fn(q, k, v))
 
     @pytest.mark.parametrize("causal", [False, True])
     def test_padded_grads_match_oracle(self, rng, causal):
@@ -349,3 +350,93 @@ class TestRingGQAPadded:
             q, k, v, keep[:, None, None, :], causal=True
         )
         assert_close(out, ref)
+
+
+class TestRingBiasGrads:
+    """Differentiable ring attention WITH a per-key bias (VERDICT r4 #6):
+    the bias shard and its grad accumulator rotate with their KV block in
+    the backward; grads — including the bias cotangent — match jax.grad
+    through the oracle."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_k_bias_grads_match_oracle(self, rng, causal):
+        b, s, n_seq = 2, 256, 4
+        q, k, v = make_qkv(rng, b=b, s=s)
+        k_bias = jnp.asarray(0.5 * rng.standard_normal((b, s)), jnp.float32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=causal,
+            differentiable=True,
+        )
+
+        def loss(q, k, v, kb):
+            return jnp.sum(fn(q, k, v, k_bias=kb).astype(jnp.float32) ** 2)
+
+        def ref_loss(q, k, v, kb):
+            o, _ = attention_reference(
+                q, k, v, causal=causal, bias=kb[:, None, None, :]
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, k_bias)
+        refs = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(q, k, v, k_bias)
+        for g, r in zip(grads, refs):
+            assert_close(g, r, rtol=2e-2, atol=2e-3)
+
+    def test_k_bias_with_lens_grads_match_oracle(self, rng):
+        """Padded batch + scattered key bias under autograd — the full
+        round-4 forward composition, now differentiable."""
+        b, s, n_seq = 2, 256, 4
+        q, k, v = make_qkv(rng, b=b, s=s)
+        k_bias = jnp.asarray(0.5 * rng.standard_normal((b, s)), jnp.float32)
+        lens = jnp.asarray([200, 129], jnp.int32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=True,
+            differentiable=True,
+        )
+
+        def loss(q, k, v, kb):
+            return jnp.sum(
+                fn(q, k, v, kv_lens=lens, k_bias=kb).astype(jnp.float32) ** 2
+            )
+
+        def ref_loss(q, k, v, kb):
+            keep = (
+                jnp.arange(s, dtype=jnp.int32)[None] < lens[:, None]
+            )[:, None, None, :]
+            o, _ = attention_reference(
+                q, k, v, mask=keep, causal=True,
+                bias=kb[:, None, None, :],
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, k_bias)
+        refs = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(q, k, v, k_bias)
+        for g, r in zip(grads, refs):
+            assert_close(g, r, rtol=2e-2, atol=2e-3)
+
+    def test_gqa_bias_grads_match_oracle(self, rng):
+        b, s, n_seq = 1, 256, 4
+        q, _, _ = make_qkv(rng, b=b, s=s, h=4)
+        _, k, v = make_qkv(rng, b=b, s=s, h=2)
+        k_bias = jnp.asarray(0.5 * rng.standard_normal((b, s)), jnp.float32)
+        mesh = create_mesh((n_seq,), ("seq",), jax.devices()[:n_seq])
+        fn = make_ring_attention(
+            mesh, data_axis=None, model_axis=None, causal=True,
+            differentiable=True,
+        )
+
+        def loss(q, k, v, kb):
+            return jnp.sum(fn(q, k, v, k_bias=kb).astype(jnp.float32) ** 2)
+
+        def ref_loss(q, k, v, kb):
+            o, _ = attention_reference(
+                q, k, v, causal=True, bias=kb[:, None, None, :]
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, k_bias)
+        refs = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(q, k, v, k_bias)
+        for g, r in zip(grads, refs):
+            assert_close(g, r, rtol=2e-2, atol=2e-3)
