@@ -110,6 +110,11 @@ class AttentionEngine:
     ) -> None:
         cfg = get_config()
         self.router = router or AdaptiveRouter()
+        # Energy-aware arbitration (config.energy_weight > 0): the router
+        # blends measured latency with this roofline-energy estimate.
+        self.router.energy_model = (
+            lambda kind, w, lat: self._estimate_energy_mj(kind, lat, w)
+        )
         # Default to the PROCESS-WIDE profile store so blocks tuned here
         # also serve the in-trace model dispatch (and vice versa).
         from .autotuner import get_autotuner
@@ -741,13 +746,26 @@ class AttentionEngine:
         self._metrics.record(f"attention.{kind.value}.latency_ms", latency_ms)
         self._metrics.record(f"attention.{kind.value}.energy_mj", self.last_energy_mj)
 
-    # Kernel -> effective matmul dtype for the energy model (the int8/fp8
-    # variants run their score matmul on the int8 MXU path).
+    # Kernel -> effective matmul dtype for the energy model. "int8qk"/
+    # "fp8qk" are the QK-only blends (score matmul quantized, P.V bf16 —
+    # e_flop is the 50/50 mix, roofline.PJ_PER_FLOP); "int8" is the
+    # fully-quantized kernel (ADVICE r4 #1: the old dead "flash_int8"
+    # key left FLASH_INT8FULL on bf16 constants).
     _ENERGY_DTYPE = {
-        "flash_int8qk": "int8",
-        "flash_int8": "int8",
+        "flash_int8qk": "int8qk",
+        "flash_int8full": "int8",
         "flash_fp8": "fp8",
-        "flash_fp8qk": "fp8",
+        "flash_fp8qk": "fp8qk",
+    }
+
+    # Kernel -> per-operand HBM byte widths (q, k, v, o) for the energy
+    # model (ADVICE r4 #2: int8qk keeps V and O in bf16 — a flat
+    # 1 byte/element under-counted half the streams ~2x).
+    _ENERGY_OPERAND_BYTES = {
+        "flash_int8qk": (1, 1, 2, 2),
+        "flash_fp8qk": (1, 1, 2, 2),
+        "flash_fp8": (1, 1, 1, 2),
+        "flash_int8full": (1, 1, 1, 2),
     }
 
     def _estimate_energy_mj(
@@ -784,8 +802,19 @@ class AttentionEngine:
             else:
                 cost = attention_prefill_cost(
                     w.batch_size, w.q_len, w.kv_len, w.num_heads,
-                    w.head_dim, causal=w.causal, dtype=dtype,
+                    w.head_dim, causal=w.causal,
+                    dtype=dtype if dtype in ("bf16", "int8", "fp8") else "bf16",
                 )
+                ob = self._ENERGY_OPERAND_BYTES.get(kind.value)
+                if ob is not None:
+                    # Mixed-precision HBM traffic (ADVICE r4 #2), with
+                    # the real KV head count for the k/v streams.
+                    qb, kb, vb, o_b = ob
+                    hkv = w.num_kv_heads or w.num_heads
+                    cost.hbm_bytes = w.batch_size * w.head_dim * (
+                        w.num_heads * w.q_len * (qb + o_b)
+                        + hkv * w.kv_len * (kb + vb)
+                    )
             if kind == KernelKind.FUSED:
                 # The fused path materializes (B, H, Sq, Skv) scores in
                 # HBM (twice: write + read through the softmax).

@@ -364,10 +364,14 @@ class ServingEngine:
         # Device-resident decode window: up to this many decode steps run
         # inside one compiled lax.scan between host syncs (power of two;
         # each distinct effective window size compiles once). 1 restores
-        # strict per-token scheduling. At the measured ~0.9 ms/step a
-        # 16-step window adds ~14 ms of admission latency — negligible
-        # against the per-window dispatch cost it amortizes.
-        decode_window: int = 16,
+        # strict per-token scheduling. Default from the round-5 measured
+        # sweep (bench.py serving row): per-window host cost is ~37 ms
+        # through the tunneled runtime, and steady-state tokens/s rose
+        # 1523 -> 2275 -> 2609 across windows 8/32/128; 64 sits within
+        # ~8% of the 128 optimum while halving admission stall and
+        # post-EOS waste, and on sub-ms production hosts it amortizes
+        # dispatch to <2%.
+        decode_window: int = 64,
         # Chunked prefill: prompts longer than this prefill in chunks of
         # this many tokens, one chunk per step(), so a long prompt never
         # stalls the decode batch for its whole prefill (vLLM-style).
@@ -1141,11 +1145,26 @@ class ServingEngine:
             "kv_dtype": "int8" if self.quantized else "bf16",
         }
 
+    def reset_performance_stats(self) -> None:
+        """Zero the token/time counters (NOT the sequence/page state).
+
+        Benchmarks warm the engine (compiles + first-window jits), reset,
+        then time a steady-state pass — the reference's warmup-then-time
+        discipline (reference cli.py:67-68) applied to serving.
+        """
+        self._prefill_tokens = 0
+        self._decode_tokens = 0
+        self._prefill_time = 0.0
+        self._decode_time = 0.0
+        self._steps = 0
+
     def get_performance_stats(self) -> Dict:
         return {
             "prefill_tokens": self._prefill_tokens,
             "decode_tokens": self._decode_tokens,
             "decode_steps": self._steps,
+            "prefill_time": self._prefill_time,
+            "decode_time": self._decode_time,
             "prefill_tokens_per_s": (
                 self._prefill_tokens / self._prefill_time if self._prefill_time else 0.0
             ),
