@@ -294,7 +294,10 @@ def _training_row():
         "name": "train_fwd_bwd_b4_s2048",
         "ms": round(t * 1e3, 4),
         "tflops": round(fl / t / 1e12, 1),
-        "note": "flash fwd + Pallas bwd (dq/dkv), flops = 3.5x fwd model",
+        "note": (
+            "flash fwd + bwd via the round-5 unrolled kernels "
+            "(bf16 square in-envelope path), flops = 3.5x fwd model"
+        ),
     }
 
 
@@ -498,7 +501,46 @@ def main() -> None:
     def flash_d128(q, k, v):
         return flash_attention(q, k, v, causal=True, block_q=bq, block_kv=bkv)
 
+    from photonic_flash_attention_tpu.ops.flash_unrolled import (
+        flash_attention_unrolled,
+    )
+
     extra = [
+        # Round-5 unrolled-KV kernels (ops/flash_unrolled.py): VPU/MXU
+        # overlap via straight-line kv bodies; triangular static-extent
+        # calls for causal. Measured 1.29-1.49x the grid kernels.
+        (
+            "flash_unrolled_causal_b4_s2048",
+            lambda q, k, v: flash_attention_unrolled(q, k, v, causal=True),
+            "bf16",
+            (B, S, H, H, D),
+        ),
+        (
+            "flash_unrolled_causal_b1_s8192",
+            lambda q, k, v: flash_attention_unrolled(q, k, v, causal=True),
+            "bf16",
+            (1, 8192, 12, 12, 64),
+        ),
+        (
+            "flash_unrolled_causal_b4_s4096_d128gqa",
+            lambda q, k, v: flash_attention_unrolled(q, k, v, causal=True),
+            "bf16",
+            (4, 4096, 32, 8, 128),
+        ),
+        (
+            "flash_unrolled_noncausal_b4_s4096_d128gqa",
+            lambda q, k, v: flash_attention_unrolled(q, k, v, causal=False),
+            "bf16",
+            (4, 4096, 32, 8, 128),
+        ),
+        (
+            "flash_unrolled_i8qk_noncausal_b4_s4096_d128gqa",
+            lambda q, k, v: flash_attention_unrolled(
+                q, k, v, causal=False, int8_qk=True
+            ),
+            "int8qk",
+            (4, 4096, 32, 8, 128),
+        ),
         ("flash_bf16_causal_b1_s8192", flash_d128, "bf16", (1, 8192, 12, 12, 64)),
         (
             "flash_int8qk_causal_b4_s2048",
@@ -736,6 +778,24 @@ def main() -> None:
     headline_kernel = "flash_bf16"
     headline_ceil = CEILS[(64, "bf16")]
     for r in rows:
+        if r.get("name") == "flash_unrolled_causal_b4_s2048":
+            t_un = r["ms"] / 1e3
+            if t_un < t_flash:
+                # Confirmation pass (same rule as the int8qk challenger).
+                t_un = min(
+                    t_un,
+                    _bench(
+                        lambda q, k, v: flash_attention_unrolled(
+                            q, k, v, causal=True
+                        ),
+                        q, k, v,
+                    ),
+                )
+                if t_un < t_flash:
+                    t_flash = t_un
+                    eff_tflops = flops_headline / t_flash / 1e12
+                    headline_kernel = "flash_unrolled"
+                    headline_ceil = CEILS[(64, "bf16")]
         if r.get("name") == "flash_int8qk_causal_b4_s2048":
             t_qk = r["ms"] / 1e3
             if t_qk < t_flash:

@@ -62,7 +62,16 @@ def _timed(fn, q, k, v, iters, repeats=3):
     return best
 
 
-def bench(fn, q, k, v, iters=(8, 40)):
+def bench(fn, q, k, v, iters=None):
+    """Auto-scaled fit window (round 5): the differenced device time
+    must dwarf the ~24 ms tunneled host round-trip or per-row numbers
+    carry +/-30% noise (the bench.py round-5 lesson — an S=2048 flash
+    reading once measured 153 "TFLOP/s", above the chip ceiling, from
+    a 3 ms window)."""
+    if iters is None:
+        t_est = max(_timed(fn, q, k, v, 12) - _timed(fn, q, k, v, 4), 1e-5) / 8
+        hi = int(min(max(60e-3 / t_est, 40), 4000))
+        iters = (hi // 10, hi)
     lo, hi = iters
     return (_timed(fn, q, k, v, hi) - _timed(fn, q, k, v, lo)) / (hi - lo)
 
@@ -75,16 +84,12 @@ def main() -> None:
         q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
-        # Small sizes run in single-digit us: scale the chain length so
-        # the fit spans well above timer/fetch noise.
-        iters = (200, 2000) if s <= 1024 else (8, 40)
         t_fused = bench(
             lambda q, k, v: attention_reference(q, k, v, causal=True)[0],
-            q, k, v, iters=iters,
+            q, k, v,
         )
         t_flash = bench(
             functools.partial(flash_attention, causal=True), q, k, v,
-            iters=iters,
         )
         from photonic_flash_attention_tpu.ops.flash_fp8 import (
             flash_attention_int8qk,
@@ -92,7 +97,6 @@ def main() -> None:
 
         t_qk = bench(
             functools.partial(flash_attention_int8qk, causal=True), q, k, v,
-            iters=iters,
         )
         cost = attention_prefill_cost(b, s, s, h, d, causal=True, caps=V5E)
         # Fused: the (B, H, Sq, Skv) score tensor is written + read in HBM.

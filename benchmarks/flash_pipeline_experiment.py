@@ -50,14 +50,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, sm_scale: float,
             causal: bool, q_start_blocks: int):
     """One q tile vs ALL kv tiles, unrolled in-body, SSA softmax state.
 
-    q_ref: (block_q, D); k_ref/v_ref: (S, D) resident; o_ref: (block_q, D).
+    q_ref: (1,1,block_q,D); k_ref/v_ref: (1,1,S,D) resident;
+    o_ref: (1,1,block_q,D).
     """
-    bq, d = q_ref.shape
-    s_total = k_ref.shape[0]
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    s_total = k_ref.shape[2]
     n_kv = s_total // block_kv
     qi = pl.program_id(2)
 
-    q = q_ref[:].astype(jnp.bfloat16)
+    q = q_ref[0, 0].astype(jnp.bfloat16)
     m = jnp.full((bq, 128), NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 128), jnp.float32)
     acc = jnp.zeros((bq, d), jnp.float32)
@@ -65,7 +66,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, sm_scale: float,
     q_row0 = (q_start_blocks + qi) * bq
 
     for j in range(n_kv):
-        k = k_ref[pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+        k = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -82,7 +83,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, sm_scale: float,
         alpha = jnp.exp(m - m_next)
         l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
         m = m_next
-        v = v_ref[pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+        v = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
         pv = jax.lax.dot(
             p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
         )
@@ -91,7 +92,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, sm_scale: float,
 
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     l_inv_d = l_inv[:, :d] if d <= 128 else jnp.tile(l_inv, (1, d // 128))
-    o_ref[:] = (acc * l_inv_d).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc * l_inv_d).astype(o_ref.dtype)
 
 
 def flash_unrolled(q, k, v, *, block_q=512, block_kv=512, causal=False,
@@ -117,9 +118,7 @@ def flash_unrolled(q, k, v, *, block_q=512, block_kv=512, causal=False,
     vt = v.transpose(0, 2, 1, 3)
 
     out = pl.pallas_call(
-        lambda qr, kr, vr, orf: kern(
-            qr.at[0, 0], kr.at[0, 0], vr.at[0, 0], orf.at[0, 0]
-        ),
+        kern,
         grid=(b, h, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
@@ -214,3 +213,482 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Variant 2: chunked-unrolled — grid over kv CHUNKS of U tiles, scratch-
+# carried state, chunk-level causal skip (DMA-redirect via index map),
+# in-body unroll inside each chunk. VMEM-safe at any S; causal keeps its
+# tile skipping at chunk granularity.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_chunked(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
+                    block_kv: int, unroll: int, sm_scale: float,
+                    causal: bool, num_chunks: int):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    qi = pl.program_id(2)
+    kc = pl.program_id(3)
+    q_row0 = qi * bq
+    span = block_kv * unroll
+
+    @pl.when(kc == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    active = (not causal) or (kc * span <= q_row0 + bq - 1)
+    if causal:
+        active = kc * span <= q_row0 + bq - 1
+
+    @pl.when(active if causal else True)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.bfloat16)
+        m = m_s[:]
+        l = l_s[:]
+        acc = acc_s[:]
+        for j in range(unroll):
+            k = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0) + q_row0
+                col = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
+                    + kc * span + j * block_kv
+                )
+                s = jnp.where(col <= row, s, NEG_INF)
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m, m_curr)
+            rep = block_kv // 128
+            m_wide = m_next if rep == 1 else jnp.tile(m_next, (1, rep))
+            p = jnp.exp(s - m_wide)
+            alpha = jnp.exp(m - m_next)
+            l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+            m = m_next
+            v = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+            pv = jax.lax.dot(
+                p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+            )
+            alpha_d = alpha[:, :d] if d <= 128 else jnp.tile(alpha, (1, d // 128))
+            acc = acc * alpha_d + pv
+        m_s[:] = m
+        l_s[:] = l
+        acc_s[:] = acc
+
+    @pl.when(kc == num_chunks - 1)
+    def _store():
+        l = l_s[:]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        l_inv_d = l_inv[:, :d] if d <= 128 else jnp.tile(l_inv, (1, d // 128))
+        o_ref[0, 0] = (acc_s[:] * l_inv_d).astype(o_ref.dtype)
+
+
+def flash_chunked(q, k, v, *, block_q=512, block_kv=512, unroll=4,
+                  causal=False, sm_scale=None):
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    group = h // hkv
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    n_q = s // block_q
+    span = block_kv * unroll
+    n_c = s // span
+
+    kern = functools.partial(
+        _kernel_chunked, block_kv=block_kv, unroll=unroll, sm_scale=scale,
+        causal=causal, num_chunks=n_c,
+    )
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    def kv_map(b_, h_, i, c):
+        if causal:
+            # Redirect skipped future chunks at the first chunk (no dead
+            # DMA variety; they are pl.when-inactive anyway).
+            c = jnp.minimum(c, (i * block_q + block_q - 1) // span)
+        return (b_, h_ // group, c, 0)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h, n_q, n_c),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, c: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, span, d), kv_map),
+            pl.BlockSpec((1, 1, span, d), kv_map),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, i, c: (b_, h_, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
+
+
+def main2():
+    rng = np.random.default_rng(0)
+    print("== chunked parity ==", flush=True)
+    q = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    for causal in (False, True):
+        for bqq, bkk, u in [(512, 512, 2), (512, 256, 4), (1024, 256, 4)]:
+            a = flash_chunked(q, k, v, causal=causal, block_q=bqq,
+                              block_kv=bkk, unroll=u)
+            r = flash_attention(q, k, v, causal=causal)
+            err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32))))
+            print(f"causal={causal} bq={bqq} bkv={bkk} u={u}: err {err:.2e}", flush=True)
+            assert err < 3e-2
+
+    print("== chunked perf ==", flush=True)
+    cases = [
+        ("d64 b4 s2048 causal", (4, 2048, 12, 12, 64), True),
+        ("d64 b1 s8192 causal", (1, 8192, 12, 12, 64), True),
+        ("d64 b1 s8192 noncausal", (1, 8192, 12, 12, 64), False),
+        ("d128gqa b4 s4096 causal", (4, 4096, 32, 8, 128), True),
+        ("d128gqa b4 s4096 noncausal", (4, 4096, 32, 8, 128), False),
+    ]
+    cfgs = [(512, 512, 2), (512, 256, 4), (1024, 256, 4), (1024, 512, 2), (512, 512, 4)]
+    for name, (b_, s_, h_, hkv_, d_), causal in cases:
+        qq = jnp.asarray(rng.standard_normal((b_, s_, h_, d_)), jnp.bfloat16)
+        kk = jnp.asarray(rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16)
+        vv = jnp.asarray(rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16)
+        frac = 0.5 if causal else 1.0
+        fl = 4 * b_ * h_ * s_ * s_ * d_ * frac
+        est_ms = fl / 60e12 * 1e3
+        hi = max(30, int(60.0 / est_ms))
+        it = (hi // 10, hi)
+        t_ref = _bench(
+            lambda a, b2, c: flash_attention(a, b2, c, causal=causal),
+            qq, kk, vv, it,
+        )
+        print(f"{name}: grid(default) {t_ref*1e3:.3f} ms ({fl/t_ref/1e12:.1f} TF)", flush=True)
+        for bqq, bkk, u in cfgs:
+            if s_ % (bkk * u) or s_ % bqq:
+                continue
+            try:
+                t = _bench(
+                    lambda a, b2, c: flash_chunked(
+                        a, b2, c, causal=causal, block_q=bqq, block_kv=bkk, unroll=u
+                    ),
+                    qq, kk, vv, it,
+                )
+                print(
+                    f"  chunked bq={bqq} bkv={bkk} u={u}: {t*1e3:.3f} ms "
+                    f"({fl/t/1e12:.1f} TF) -> {t_ref/t:.2f}x",
+                    flush=True,
+                )
+            except Exception as e:
+                print(f"  chunked bq={bqq} bkv={bkk} u={u}: FAIL {str(e)[:90]}", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "chunked":
+    main2()
+
+
+# ---------------------------------------------------------------------------
+# Variant 3: triangular — one pallas_call per q row-block with a STATIC
+# kv extent (i+1 tiles for row i). Zero diagonal waste, full in-body
+# unroll with SSA state, no scratch carry. n_q kernels compile per shape.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_tri(q_ref, k_ref, v_ref, o_ref, *, block_kv: int,
+                sm_scale: float, q_row0: int, mask_last: bool):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    s_kv = k_ref.shape[2]
+    n_kv = s_kv // block_kv
+
+    q = q_ref[0, 0].astype(jnp.bfloat16)
+    m = jnp.full((bq, 128), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 128), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    for j in range(n_kv):
+        k = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        # Only tiles overlapping the diagonal need the causal mask.
+        if mask_last and (j + 1) * block_kv > q_row0:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0) + q_row0
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1) + j * block_kv
+            s = jnp.where(col <= row, s, NEG_INF)
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        rep = block_kv // 128
+        m_wide = m_next if rep == 1 else jnp.tile(m_next, (1, rep))
+        p = jnp.exp(s - m_wide)
+        alpha = jnp.exp(m - m_next)
+        l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        m = m_next
+        v = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+        pv = jax.lax.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        )
+        alpha_d = alpha[:, :d] if d <= 128 else jnp.tile(alpha, (1, d // 128))
+        acc = acc * alpha_d + pv
+
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    l_inv_d = l_inv[:, :d] if d <= 128 else jnp.tile(l_inv, (1, d // 128))
+    o_ref[0, 0] = (acc * l_inv_d).astype(o_ref.dtype)
+
+
+def flash_triangular(q, k, v, *, block_q=512, block_kv=512, sm_scale=None):
+    """Causal flash: one static-extent unrolled call per q row-block."""
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    group = h // hkv
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    n_q = s // block_q
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    outs = []
+    for i in range(n_q):
+        kv_len = min((i * block_q + block_q + block_kv - 1) // block_kv, s // block_kv)
+        span = kv_len * block_kv
+        kern = functools.partial(
+            _kernel_tri, block_kv=block_kv, sm_scale=scale,
+            q_row0=i * block_q, mask_last=True,
+        )
+        o_i = pl.pallas_call(
+            kern,
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i=i: (b_, h_, i, 0)),
+                pl.BlockSpec((1, 1, span, d), lambda b_, h_: (b_, h_ // group, 0, 0)),
+                pl.BlockSpec((1, 1, span, d), lambda b_, h_: (b_, h_ // group, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_: (b_, h_, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h, block_q, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(qt, kt, vt)
+        outs.append(o_i)
+    out = jnp.concatenate(outs, axis=2)
+    return out.transpose(0, 2, 1, 3)
+
+
+def main3():
+    rng = np.random.default_rng(0)
+    print("== triangular parity ==", flush=True)
+    q = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    a = flash_triangular(q, k, v)
+    r = flash_attention(q, k, v, causal=True)
+    err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32))))
+    print(f"err {err:.2e}", flush=True)
+    assert err < 3e-2
+
+    print("== triangular perf (causal) ==", flush=True)
+    cases = [
+        ("d64 b4 s2048", (4, 2048, 12, 12, 64)),
+        ("d64 b1 s8192", (1, 8192, 12, 12, 64)),
+        ("d128gqa b4 s4096", (4, 4096, 32, 8, 128)),
+    ]
+    for name, (b_, s_, h_, hkv_, d_) in cases:
+        qq = jnp.asarray(rng.standard_normal((b_, s_, h_, d_)), jnp.bfloat16)
+        kk = jnp.asarray(rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16)
+        vv = jnp.asarray(rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16)
+        fl = 4 * b_ * h_ * s_ * s_ * d_ * 0.5
+        est_ms = fl / 60e12 * 1e3
+        hi = max(30, int(60.0 / est_ms))
+        it = (hi // 10, hi)
+        t_ref = _bench(
+            lambda a, b2, c: flash_attention(a, b2, c, causal=True),
+            qq, kk, vv, it,
+        )
+        for bqq, bkk in [(512, 512), (1024, 512), (512, 256)]:
+            if s_ % bqq or s_ % bkk:
+                continue
+            try:
+                t = _bench(
+                    lambda a, b2, c: flash_triangular(
+                        a, b2, c, block_q=bqq, block_kv=bkk
+                    ),
+                    qq, kk, vv, it,
+                )
+                print(
+                    f"{name} tri bq={bqq} bkv={bkk}: {t*1e3:.3f} ms "
+                    f"({fl/t/1e12:.1f} TF) vs grid {t_ref*1e3:.3f} ms "
+                    f"({fl/t_ref/1e12:.1f} TF) -> {t_ref/t:.2f}x",
+                    flush=True,
+                )
+            except Exception as e:
+                print(f"{name} tri bq={bqq} bkv={bkk}: FAIL {str(e)[:90]}", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "tri":
+    main3()
+
+
+# ---------------------------------------------------------------------------
+# Variant 4: int8-QK triangular/unrolled — per-tensor-scale int8 score
+# matmul (the ops/flash_fp8.py trick) inside the unrolled body.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_tri_i8(q_ref, k_ref, v_ref, scale_ref, o_ref, *, block_kv: int,
+                   q_row0: int, causal: bool):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    s_kv = k_ref.shape[2]
+    n_kv = s_kv // block_kv
+
+    q = q_ref[0, 0]  # int8
+    m = jnp.full((bq, 128), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 128), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    for j in range(n_kv):
+        k = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]  # int8
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * scale_ref[0]
+        if causal and (j + 1) * block_kv > q_row0:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0) + q_row0
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1) + j * block_kv
+            s = jnp.where(col <= row, s, NEG_INF)
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        rep = block_kv // 128
+        m_wide = m_next if rep == 1 else jnp.tile(m_next, (1, rep))
+        p = jnp.exp(s - m_wide)
+        alpha = jnp.exp(m - m_next)
+        l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        m = m_next
+        v = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+        pv = jax.lax.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        )
+        alpha_d = alpha[:, :d] if d <= 128 else jnp.tile(alpha, (1, d // 128))
+        acc = acc * alpha_d + pv
+
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    l_inv_d = l_inv[:, :d] if d <= 128 else jnp.tile(l_inv, (1, d // 128))
+    o_ref[0, 0] = (acc * l_inv_d).astype(o_ref.dtype)
+
+
+def _quant_pt(x):
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    sc = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sc), -127, 127).astype(jnp.int8)
+    return xq, sc
+
+
+def flash_tri_i8(q, k, v, *, block_q=512, block_kv=512, causal=True,
+                 sm_scale=None):
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    group = h // hkv
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    n_q = s // block_q
+
+    qq, qs = _quant_pt(q)
+    kq, ks = _quant_pt(k)
+    score_scale = (qs * ks * scale).reshape(1).astype(jnp.float32)
+
+    qt = qq.transpose(0, 2, 1, 3)
+    kt = kq.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    outs = []
+    for i in range(n_q):
+        if causal:
+            kv_len = min((i * block_q + block_q + block_kv - 1) // block_kv,
+                         s // block_kv)
+        else:
+            kv_len = s // block_kv
+        span = kv_len * block_kv
+        kern = functools.partial(
+            _kernel_tri_i8, block_kv=block_kv, q_row0=i * block_q,
+            causal=causal,
+        )
+        o_i = pl.pallas_call(
+            kern,
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i=i: (b_, h_, i, 0)),
+                pl.BlockSpec((1, 1, span, d), lambda b_, h_: (b_, h_ // group, 0, 0)),
+                pl.BlockSpec((1, 1, span, d), lambda b_, h_: (b_, h_ // group, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_: (b_, h_, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h, block_q, d), v.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(qt, kt, vt, score_scale)
+        outs.append(o_i)
+        if not causal:
+            # non-causal: every row identical extent -> single call would
+            # be the full-unroll variant; keep per-row for code sharing.
+            pass
+    out = jnp.concatenate(outs, axis=2)
+    return out.transpose(0, 2, 1, 3)
+
+
+def main4():
+    rng = np.random.default_rng(0)
+    print("== tri-i8 parity ==", flush=True)
+    q = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    a = flash_tri_i8(q, k, v, causal=True)
+    r = flash_attention(q, k, v, causal=True)
+    rel = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)))
+                / (jnp.max(jnp.abs(r.astype(jnp.float32))) + 1e-9))
+    print(f"rel err {rel:.2e}", flush=True)
+    assert rel < 5e-2
+
+    print("== tri-i8 perf ==", flush=True)
+    cases = [
+        ("d64 b4 s2048 causal", (4, 2048, 12, 12, 64), True),
+        ("d128gqa b4 s4096 causal", (4, 4096, 32, 8, 128), True),
+        ("d128gqa b4 s4096 noncausal", (4, 4096, 32, 8, 128), False),
+        ("d64 b1 s8192 causal", (1, 8192, 12, 12, 64), True),
+    ]
+    for name, (b_, s_, h_, hkv_, d_), causal in cases:
+        qq = jnp.asarray(rng.standard_normal((b_, s_, h_, d_)), jnp.bfloat16)
+        kk = jnp.asarray(rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16)
+        vv = jnp.asarray(rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16)
+        frac = 0.5 if causal else 1.0
+        fl = 4 * b_ * h_ * s_ * s_ * d_ * frac
+        est_ms = fl / 80e12 * 1e3
+        hi = max(30, int(60.0 / est_ms))
+        it = (hi // 10, hi)
+        t_i8 = _bench(
+            lambda a, b2, c: flash_tri_i8(a, b2, c, causal=causal),
+            qq, kk, vv, it,
+        )
+        t_ref = _bench(
+            lambda a, b2, c: flash_attention_int8qk(a, b2, c, causal=causal),
+            qq, kk, vv, it,
+        )
+        print(
+            f"{name}: tri-i8 {t_i8*1e3:.3f} ms ({fl/t_i8/1e12:.1f} TF) vs "
+            f"grid-int8qk {t_ref*1e3:.3f} ms ({fl/t_ref/1e12:.1f} TF) "
+            f"-> {t_ref/t_i8:.2f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "i8":
+    main4()

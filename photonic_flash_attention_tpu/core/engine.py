@@ -235,6 +235,18 @@ class AttentionEngine:
         self, w: Optional[WorkloadCharacteristics] = None
     ) -> Tuple[KernelKind, ...]:
         kinds = [KernelKind.FUSED, KernelKind.FLASH]
+        if w is not None and not w.is_decode and w.q_len == w.kv_len:
+            # Round-5 unrolled-KV kernels: mask-free square self-
+            # attention inside the measured VMEM envelope (the router
+            # additionally gates mask_kind).
+            from ..ops.flash_unrolled import unrolled_supported
+
+            if unrolled_supported(w.q_len, w.head_dim):
+                kinds.append(KernelKind.FLASH_UNROLLED)
+            if self.enable_int8 and unrolled_supported(
+                w.q_len, w.head_dim, int8_qk=True
+            ):
+                kinds.append(KernelKind.FLASH_UNROLLED_INT8QK)
         if self.enable_fp8:
             # fp8 family: per-tensor-scale QK variant (fast) + the
             # per-128-row-block-scale variant (outlier-robust); the
@@ -335,6 +347,26 @@ class AttentionEngine:
                 return (
                     flash_attention(
                         q, k, v, causal=causal, block_q=block_q, block_kv=block_kv
+                    ),
+                    None,
+                )
+
+        elif kind in (
+            KernelKind.FLASH_UNROLLED,
+            KernelKind.FLASH_UNROLLED_INT8QK,
+        ):
+            from ..ops.flash_unrolled import flash_attention_unrolled
+
+            i8 = kind == KernelKind.FLASH_UNROLLED_INT8QK
+
+            @jax.jit
+            def fn(q, k, v, mask=None):
+                # Fixed 512x512 blocks: the kernel's measured envelope;
+                # autotuned grid-kernel block hints do not apply here.
+                return (
+                    flash_attention_unrolled(
+                        q, k, v, causal=causal, int8_qk=i8,
+                        block_q=512, block_kv=512,
                     ),
                     None,
                 )

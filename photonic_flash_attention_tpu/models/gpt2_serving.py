@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
+from ..ops.flash_unrolled import flash_attention_best
 from ..ops.paged import paged_decode_attention
 from ..ops.reference import DEFAULT_MASK_VALUE
 from .gpt2 import GPT2Config
@@ -177,7 +178,7 @@ def prefill_step(
             lyr,
             quantized,
         )
-        attn = flash_attention(qh, kh, vh, causal=True)
+        attn = flash_attention_best(qh, kh, vh, causal=True)
         attn = attn.reshape(b, s, h_loc * d)
         attn = _dense_row(
             attn, p_l["attn"]["out_proj"]["kernel"],

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash import flash_attention
+from ..ops.flash_unrolled import flash_attention_best
 from ..ops.paged import paged_decode_attention
 from .gpt2_serving import _decode_write
 from .llama import LlamaConfig, apply_rope, rope_cos_sin
@@ -100,7 +101,7 @@ def llama_prefill_step(
             lyr,
             quantized,
         )
-        attn = flash_attention(q, k, v, causal=True)  # native GQA
+        attn = flash_attention_best(q, k, v, causal=True)  # native GQA
         attn = _dense(attn.reshape(b, s, hq * d), a["o_proj"]["kernel"])
         x = x + attn
         h2 = _rms_norm(x, p_l["post_attn_ln"]["scale"], eps)

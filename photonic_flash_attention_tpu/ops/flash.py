@@ -913,6 +913,13 @@ def _flash_attention_core(
             q, k, v, sm_scale, block_q, block_kv, interpret
         )
         return o
+    if _unrolled_core_ok(q, k, window):
+        from .flash_unrolled import unrolled_fwd_bhsd
+
+        o, _ = unrolled_fwd_bhsd(
+            q, k, v, causal=causal, sm_scale=sm_scale, interpret=interpret
+        )
+        return o
     # Primal (inference) path: no residuals, no lse HBM traffic.
     o, _ = _flash_core_fwd_impl(
         q, k, v, sm_scale, causal, block_q, block_kv, interpret,
@@ -920,6 +927,24 @@ def _flash_attention_core(
         banded_grid=_bandable(window, causal),
     )
     return o
+
+
+def _unrolled_core_ok(q, k, window) -> bool:
+    """Gate for the round-5 unrolled forward inside flash_attention's
+    core (docs/kernels.md "Round 5"): plain square bf16 self-attention
+    with a natively-supported head dim, inside the measured VMEM
+    envelope. bf16-only so fp32 callers keep the grid kernel's fp32
+    interpret/compiled numerics unchanged."""
+    from .flash_unrolled import unrolled_supported
+
+    sq, d = q.shape[2], q.shape[3]
+    return (
+        window is None
+        and q.dtype == jnp.bfloat16
+        and sq == k.shape[2]
+        and (d == 64 or d % 128 == 0)
+        and unrolled_supported(sq, d)
+    )
 
 
 def _bandable(window, causal) -> bool:
@@ -1105,6 +1130,14 @@ def _flash_core_fwd(
             q, k, v, sm_scale, block_q, block_kv, interpret
         )
         return o, (q, k, v, o, lse)
+    if _unrolled_core_ok(q, k, window):
+        from .flash_unrolled import unrolled_fwd_bhsd
+
+        o, lse = unrolled_fwd_bhsd(
+            q, k, v, causal=causal, sm_scale=sm_scale, save_lse=True,
+            interpret=interpret,
+        )
+        return o, (q, k, v, o, lse)
     o, lse = _flash_core_fwd_impl(
         q, k, v, sm_scale, causal, block_q, block_kv, interpret,
         save_residuals=True, window=window,
@@ -1129,20 +1162,44 @@ def _flash_core_bwd(
     else:
         k_in, v_in = k, v
     if _use_pallas_bwd():
-        from .flash_bwd import flash_attention_bwd_pallas
-
-        dq, dk, dv = flash_attention_bwd_pallas(
-            q,
-            k_in,
-            v_in,
-            o,
-            lse,
-            do,
-            sm_scale=sm_scale,
-            causal=causal,
-            interpret=interpret,
-            window=window,
+        from .flash_bwd import (
+            bwd_unrolled_supported,
+            flash_attention_bwd_pallas,
+            flash_attention_bwd_unrolled,
         )
+
+        sq_ = q.shape[2]
+        if (
+            window is None
+            and sq_ == skv
+            and bwd_unrolled_supported(sq_, d, q.dtype.itemsize)
+        ):
+            # Round-5 unrolled backward: 1.19-1.36x the grid kernels on
+            # plain square self-attention (docs/kernels.md "Round 5").
+            dq, dk, dv = flash_attention_bwd_unrolled(
+                q,
+                k_in,
+                v_in,
+                o,
+                lse,
+                do,
+                sm_scale=sm_scale,
+                causal=causal,
+                interpret=bool(resolve_interpret(interpret)),
+            )
+        else:
+            dq, dk, dv = flash_attention_bwd_pallas(
+                q,
+                k_in,
+                v_in,
+                o,
+                lse,
+                do,
+                sm_scale=sm_scale,
+                causal=causal,
+                interpret=interpret,
+                window=window,
+            )
     else:
         skv_p = round_up(skv, block_kv)
         kp = jnp.pad(k_in, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
@@ -1655,10 +1712,23 @@ def flash_attention_with_lse(
     bkv = block_kv or _choose_block(skv, 512)
     _check_blocks(bq, bkv)
     interp = resolve_interpret(interpret)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if kv_lens is None and k_bias is None and _unrolled_core_ok(qt, kt, None):
+        # Round-5 unrolled forward with lse — ring attention's local
+        # flash bodies (8K shards of a 64K ring divide 512) ride it too.
+        from .flash_unrolled import unrolled_fwd_bhsd
+
+        o, lse = unrolled_fwd_bhsd(
+            qt, kt, vt, causal=causal, sm_scale=scale, save_lse=True,
+            interpret=interp,
+        )
+        return o.transpose(0, 2, 1, 3), lse
     o, lse = _flash_core_fwd_impl(
-        q.transpose(0, 2, 1, 3),
-        k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
+        qt,
+        kt,
+        vt,
         scale,
         causal,
         bq,

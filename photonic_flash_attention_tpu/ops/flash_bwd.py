@@ -525,3 +525,223 @@ def flash_attention_bwd_pallas(
         dk[:, :, :skv, :d],
         dv[:, :, :skv, :d],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 unrolled backward (see ops/flash_unrolled.py for the forward
+# counterpart and docs/kernels.md "Round 5" for the measured story).
+#
+# The grid kernels above run one tile per grid step; the tile body's
+# VPU stream (exp recompute, ds arithmetic, casts) serializes against
+# its 3-4 matmuls. Unrolling the inner grid dimension into straight-
+# line bodies with STATIC triangular extents lets Mosaic's VLIW
+# scheduler overlap them. Measured (v5e, causal, 512x512, vs the tuned
+# grid kernels): 1.21x at D=64 B4 S2048, 1.19x at S8192, 1.36x at
+# D=128 B4 S4096. Scope: plain causal/non-causal square self-attention
+# (no window/dropout/rel-bias — those ride the grid kernels), inside
+# the VMEM envelope below.
+# ---------------------------------------------------------------------------
+
+_BWD_UNROLL_MAX_TILES = 16
+
+
+def bwd_unrolled_supported(
+    seq_len: int, head_dim: int, itemsize: int = 2,
+    *, block_q: int = 512, block_kv: int = 512,
+) -> bool:
+    """Envelope for the unrolled backward: full Q/dO (dkv pass) and K/V
+    (dq pass) extents VMEM-resident, body tile count bounded."""
+    if seq_len % block_q or seq_len % block_kv:
+        return False
+    if max(block_q, block_kv) > 512:
+        return False
+    if seq_len // block_kv > _BWD_UNROLL_MAX_TILES:
+        return False
+    if seq_len // block_q > _BWD_UNROLL_MAX_TILES:
+        return False
+    return 2 * seq_len * head_dim * itemsize <= 8 * 1024 * 1024
+
+
+def _dq_kernel_unrolled(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+    *, block_kv: int, sm_scale: float, causal: bool, q_row0: int,
+):
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    n_kv = k_ref.shape[2] // block_kv
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    lse_row = lse_ref[0, 0]  # (1, bq) fp32
+    di_row = di_ref[0, 0]
+    dq = jnp.zeros((bq, d), jnp.float32)
+    for j in range(n_kv):
+        k = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
+        v = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        logits = s_t * sm_scale - lse_row
+        if causal and (j + 1) * block_kv > q_row0:
+            col_kv = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_kv, bq), 0)
+                + j * block_kv
+            )
+            row_q = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_kv, bq), 1) + q_row0
+            )
+            p_t = jnp.where(col_kv <= row_q, jnp.exp(logits), 0.0)
+        else:
+            p_t = jnp.exp(logits)
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds_t = p_t * (dp_t - di_row) * sm_scale
+        dq = dq + jax.lax.dot_general(
+            ds_t.astype(k.dtype), k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel_unrolled(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    *, block_q: int, sm_scale: float, causal: bool, kv_col0: int,
+    q_block0: int,
+):
+    bkv, d = k_ref.shape[2], k_ref.shape[3]
+    n_q = q_ref.shape[2] // block_q
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    dk = jnp.zeros((bkv, d), jnp.float32)
+    dv = jnp.zeros((bkv, d), jnp.float32)
+    for j in range(q_block0, n_q):
+        rows = pl.ds(j * block_q, block_q)
+        q = q_ref[0, 0, rows, :]
+        do = do_ref[0, 0, rows, :]
+        lse_row = lse_ref[0, 0, :, pl.ds(j * block_q, block_q)]
+        di_row = di_ref[0, 0, :, pl.ds(j * block_q, block_q)]
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        logits = s_t * sm_scale - lse_row
+        if causal and kv_col0 + bkv > j * block_q:
+            col_kv = (
+                jax.lax.broadcasted_iota(jnp.int32, (bkv, block_q), 0)
+                + kv_col0
+            )
+            row_q = (
+                jax.lax.broadcasted_iota(jnp.int32, (bkv, block_q), 1)
+                + j * block_q
+            )
+            p_t = jnp.where(col_kv <= row_q, jnp.exp(logits), 0.0)
+        else:
+            p_t = jnp.exp(logits)
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds_t = p_t * (dp_t - di_row) * sm_scale
+        dv = dv + jax.lax.dot(
+            p_t.astype(do.dtype), do, preferred_element_type=jnp.float32
+        )
+        dk = dk + jax.lax.dot(
+            ds_t.astype(q.dtype), q, preferred_element_type=jnp.float32
+        )
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def flash_attention_bwd_unrolled(
+    q: jax.Array,  # [B, H, S, D]
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    lse: jax.Array,  # [B, H, S] fp32
+    do: jax.Array,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Unrolled backward: dq via per-q-block calls (K/V resident), dk/dv
+    via per-kv-block calls (Q/dO/lse/di resident, static q suffix).
+    Same [B, H, S, D] contract as flash_attention_bwd_pallas; callers
+    gate with bwd_unrolled_supported()."""
+    b, h, s, d = q.shape
+    n_q = s // block_q
+    n_kv = s // block_kv
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    lse4 = lse.astype(jnp.float32)[:, :, None, :]
+    di4 = di[:, :, None, :]
+
+    dqs = []
+    for i in range(n_q):
+        kv_tiles = (
+            min((i * block_q + block_q + block_kv - 1) // block_kv, n_kv)
+            if causal
+            else n_kv
+        )
+        span = kv_tiles * block_kv
+        kern = functools.partial(
+            _dq_kernel_unrolled, block_kv=block_kv, sm_scale=sm_scale,
+            causal=causal, q_row0=i * block_q,
+        )
+        dq_i = pl.pallas_call(
+            kern,
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i=i: (b_, h_, i, 0)),
+                pl.BlockSpec((1, 1, span, d), lambda b_, h_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, span, d), lambda b_, h_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i=i: (b_, h_, i, 0)),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b_, h_, i=i: (b_, h_, 0, i)),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b_, h_, i=i: (b_, h_, 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d), lambda b_, h_: (b_, h_, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, h, block_q, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(q, k, v, do, lse4, di4)
+        dqs.append(dq_i)
+    dq = jnp.concatenate(dqs, axis=2) if len(dqs) > 1 else dqs[0]
+
+    dks, dvs = [], []
+    for ki in range(n_kv):
+        q_block0 = (ki * block_kv) // block_q if causal else 0
+        kern = functools.partial(
+            _dkv_kernel_unrolled, block_q=block_q, sm_scale=sm_scale,
+            causal=causal, kv_col0=ki * block_kv, q_block0=q_block0,
+        )
+        dk_i, dv_i = pl.pallas_call(
+            kern,
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, 1, s, d), lambda b_, h_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, ki=ki: (b_, h_, ki, 0)),
+                pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, ki=ki: (b_, h_, ki, 0)),
+                pl.BlockSpec((1, 1, s, d), lambda b_, h_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, 1, s), lambda b_, h_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, 1, s), lambda b_, h_: (b_, h_, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_: (b_, h_, 0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, block_kv, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h, block_kv, d), v.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(q, k, v, do, lse4, di4)
+        dks.append(dk_i)
+        dvs.append(dv_i)
+    dk = jnp.concatenate(dks, axis=2) if len(dks) > 1 else dks[0]
+    dv = jnp.concatenate(dvs, axis=2) if len(dvs) > 1 else dvs[0]
+    return dq, dk, dv

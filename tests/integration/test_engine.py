@@ -110,10 +110,12 @@ class TestEngine:
         q, k, v = make_qkv(rng, s=1024)
         eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
         used = set()
-        for _ in range(4):
+        for _ in range(6):
             eng(q, k, v)
             used.add(eng.last_kernel_used)
-        assert used == {"fused", "flash"}
+        # Round 5 adds the unrolled kernel to the mask-free registry;
+        # warmup measures every eligible kind before exploiting.
+        assert used == {"fused", "flash", "flash_unrolled"}
 
     def test_stats_surface(self, rng):
         q, k, v = make_qkv(rng)
@@ -134,7 +136,9 @@ class TestEngine:
         assert eng.last_kernel_used == "fused"
         q, k, v = make_qkv(rng, s=512)
         eng(q, k, v)
-        assert eng.last_kernel_used == "flash"
+        # Round 5: the heuristic prefers the unrolled kernel inside its
+        # envelope (measured 1.3-1.5x the grid kernel).
+        assert eng.last_kernel_used == "flash_unrolled"
 
     def test_singleton(self):
         assert get_engine() is get_engine()
@@ -236,6 +240,7 @@ class TestFullRegistry:
         for kind, ms in [
             (KernelKind.FUSED, 5.0),
             (KernelKind.FLASH, 3.0),
+            (KernelKind.FLASH_UNROLLED, 2.5),
             (KernelKind.RING, 2.0),
             (KernelKind.ULYSSES, 1.0),
         ]:
@@ -342,7 +347,9 @@ class TestFullRegistry:
         )
         q, k, v = make_qkv(rng, s=1024)
         out, _ = eng(q, k, v, causal=True)
-        assert eng.last_kernel_used == "flash_int8full"
+        # Round 5: the unrolled kernel outranks the int8 grid family in
+        # the heuristic; int8 kinds remain offered (registry check below).
+        assert eng.last_kernel_used == "flash_unrolled"
         ref, _ = attention_reference(q, k, v, causal=True)
         err = float(
             jnp.linalg.norm((out - ref).astype(jnp.float32))
@@ -574,3 +581,45 @@ class TestDenseMaskFlashRouting:
         )
         kinds = eng.router.eligible_kernels(w, eng._available_kernels(w))
         assert set(k.value for k in kinds) == {"fused", "flash"}
+
+
+class TestUnrolledKernelRouting:
+    """Round-5 unrolled-KV kernels in the registry."""
+
+    def test_heuristic_prefers_unrolled_when_supported(self, rng):
+        set_global_config(auto_kernel_selection=False, flash_threshold=512)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        q, k, v = make_qkv(rng, s=1024)
+        out, _ = eng(q, k, v, causal=True)
+        assert eng.last_kernel_used == "flash_unrolled"
+        ref, _ = attention_reference(q, k, v, causal=True)
+        assert_close(out, ref, rtol=2e-2, atol=1e-2)
+
+    def test_unrolled_not_offered_for_masked(self, rng):
+        set_global_config(auto_kernel_selection=False, flash_threshold=512)
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        q, k, v = make_qkv(rng, s=1024)
+        lens = jnp.asarray([700, 1000], jnp.int32)
+        mask = (jnp.arange(1024)[None] < lens[:, None])[:, None, None, :]
+        out, _ = eng(q, k, v, causal=True, mask=mask)
+        assert eng.last_kernel_used != "flash_unrolled"
+        ref, _ = attention_reference(q, k, v, mask=mask, causal=True)
+        assert_close(out, ref, rtol=2e-2, atol=1e-2)
+
+    def test_unrolled_not_offered_above_envelope(self, rng):
+        """S=16384 exceeds the measured VMEM envelope: the engine must
+        not offer the unrolled kernel there."""
+        from photonic_flash_attention_tpu.core.router import (
+            KernelKind,
+            WorkloadCharacteristics,
+        )
+
+        eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
+        w = WorkloadCharacteristics(
+            batch_size=1, q_len=16384, kv_len=16384, num_heads=2, head_dim=64
+        )
+        assert KernelKind.FLASH_UNROLLED not in eng._available_kernels(w)
+        w2 = WorkloadCharacteristics(
+            batch_size=1, q_len=2048, kv_len=2048, num_heads=2, head_dim=64
+        )
+        assert KernelKind.FLASH_UNROLLED in eng._available_kernels(w2)
