@@ -120,15 +120,19 @@ def benchmark(args: argparse.Namespace) -> int:
 def calibrate(args: argparse.Namespace) -> int:
     """Quantization error sweep (reference cli.py:148-303).
 
-    Covers the per-128-row-block kernels (fp8/int8) AND the round-4
-    per-tensor-scale kernels (fp8qk/int8qk/int8full) — the ones the
-    router actually prefers — against the fp32 oracle."""
+    Covers the per-128-row-block kernels (fp8/int8), the round-4
+    per-tensor-scale kernels (fp8qk/int8qk/int8full), AND the round-5
+    unrolled int8-QK kernel — everything the router can prefer —
+    against the fp32 oracle."""
+    import functools
+
     from .ops.flash_fp8 import (
         flash_attention_fp8qk,
         flash_attention_int8full,
         flash_attention_int8qk,
         flash_attention_quant,
     )
+    from .ops.flash_unrolled import flash_attention_unrolled
     from .ops.quantization import quantization_error, quantize
     from .ops.reference import attention_reference
 
@@ -139,6 +143,9 @@ def calibrate(args: argparse.Namespace) -> int:
         "fp8qk": flash_attention_fp8qk,
         "int8qk": flash_attention_int8qk,
         "int8full": flash_attention_int8full,
+        "unrolled_int8qk": functools.partial(
+            flash_attention_unrolled, int8_qk=True
+        ),
     }
     for mode, kernel in kernel_variants.items():
         attn_errs = []
