@@ -933,9 +933,12 @@ def _unrolled_core_ok(q, k, window) -> bool:
     """Gate for the round-5 unrolled forward inside flash_attention's
     core (docs/kernels.md "Round 5"): plain square bf16 self-attention
     with a natively-supported head dim, inside the measured VMEM
-    envelope. bf16-only so fp32 callers keep the grid kernel's fp32
-    interpret/compiled numerics unchanged."""
-    from .flash_unrolled import unrolled_supported
+    envelope AT THE COMPOSITION TILE CAP (the call sits inside an
+    arbitrary jitted model, sharing the scoped-VMEM stack — a 16-tile
+    body OOMed inside T5-Large's decoder loop). bf16-only so fp32
+    callers keep the grid kernel's fp32 interpret/compiled numerics
+    unchanged."""
+    from .flash_unrolled import COMPOSED_MAX_TILES, unrolled_supported
 
     sq, d = q.shape[2], q.shape[3]
     return (
@@ -943,7 +946,7 @@ def _unrolled_core_ok(q, k, window) -> bool:
         and q.dtype == jnp.bfloat16
         and sq == k.shape[2]
         and (d == 64 or d % 128 == 0)
-        and unrolled_supported(sq, d)
+        and unrolled_supported(sq, d, max_tiles=COMPOSED_MAX_TILES)
     )
 
 

@@ -542,7 +542,11 @@ def flash_attention_bwd_pallas(
 # the VMEM envelope below.
 # ---------------------------------------------------------------------------
 
-_BWD_UNROLL_MAX_TILES = 16
+# 12, not 16: the backward always composes inside a larger grad graph
+# sharing the scoped-VMEM stack (same lesson as the forward's
+# COMPOSED_MAX_TILES — a 16-tile unrolled body OOMed scoped VMEM inside
+# T5-Large's decoder loop while compiling standalone).
+_BWD_UNROLL_MAX_TILES = 12
 
 
 def bwd_unrolled_supported(

@@ -64,18 +64,31 @@ MAX_UNROLL_TILES_BF16 = 16
 MAX_UNROLL_TILES_INT8 = 12
 
 
+#: Tile cap when the unrolled call COMPOSES inside a larger jitted
+#: program (a model layer under scan/while): the surrounding program
+#: shares the 16 MB scoped-VMEM stack, and a 16-tile body measured
+#: 16.96 MB inside T5-Large's decoder loop (988 KB over) while the
+#: same body compiles standalone. Composition callers (the
+#: flash_attention core gate, flash_attention_with_lse) pass this.
+COMPOSED_MAX_TILES = 12
+
+
 def unrolled_supported(
     seq_len: int, head_dim: int, *, block_q: int = 512, block_kv: int = 512,
-    int8_qk: bool = False,
+    int8_qk: bool = False, max_tiles: Optional[int] = None,
 ) -> bool:
     """True when the unrolled kernel's measured VMEM envelope admits
     this geometry (full K/V extent resident + body temps in scoped
-    VMEM)."""
+    VMEM). ``max_tiles`` overrides the standalone-call tile cap —
+    composition contexts pass COMPOSED_MAX_TILES."""
     if seq_len % block_q or seq_len % block_kv:
         return False
     if block_q > 512:
         return False  # 1024-row q blocks OOM the scoped limit at 16 tiles
-    max_tiles = MAX_UNROLL_TILES_INT8 if int8_qk else MAX_UNROLL_TILES_BF16
+    if max_tiles is None:
+        max_tiles = MAX_UNROLL_TILES_INT8 if int8_qk else MAX_UNROLL_TILES_BF16
+    elif int8_qk:
+        max_tiles = min(max_tiles, MAX_UNROLL_TILES_INT8)
     if seq_len // block_kv > max_tiles:
         return False
     # K/V resident bytes per (b, h): keep under ~8 MB so double buffering
