@@ -692,3 +692,117 @@ def main4():
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "i8":
     main4()
+
+
+# ---------------------------------------------------------------------------
+# Variant 5: segmented-triangular for LONG S — per q row-block, the kv
+# extent splits into segments of <= SEG tiles; each segment is one
+# unrolled call with lse output; segments merge by logsumexp in XLA.
+# Extends the unrolled win past the 16-tile scoped-VMEM envelope
+# (S=16K-64K currently rides the grid kernel at ~65% of composite).
+# ---------------------------------------------------------------------------
+
+
+def flash_segmented(q, k, v, *, causal=True, block_q=512, block_kv=512,
+                    seg_tiles=12, sm_scale=None):
+    """(B, S, H, D). Causal; per q row-block: ceil(extent/seg) unrolled
+    calls merged by lse."""
+    from photonic_flash_attention_tpu.ops.flash_unrolled import (
+        unrolled_fwd_bhsd,
+    )
+    from photonic_flash_attention_tpu.parallel.ring import softmax_merge
+
+    b, s, h, d = q.shape
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    n_q = s // block_q
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    assert block_q == block_kv, "diagonal alignment needs square tiles"
+    outs = []
+    for i in range(n_q):
+        kv_tiles = (i + 1) if causal else s // block_kv
+        q_blk = qt[:, :, i * block_q:(i + 1) * block_q, :]
+        o_acc = None
+        lse_acc = None
+        # Segments: interior tiles [0, i) in non-causal chunks, then the
+        # diagonal tile [i, i+1) as its own causal call (local coords
+        # align exactly there: q_row0 = 0 and kv col 0 = global col
+        # i*block_kv = global row start).
+        segments = []
+        interior = (kv_tiles - 1) if causal else kv_tiles
+        start = 0
+        while start < interior:
+            seg = min(seg_tiles, interior - start)
+            segments.append((start, seg, False))
+            start += seg
+        if causal:
+            segments.append((kv_tiles - 1, 1, True))
+        for start, seg, diag in segments:
+            k_seg = kt[:, :, start * block_kv:(start + seg) * block_kv, :]
+            v_seg = vt[:, :, start * block_kv:(start + seg) * block_kv, :]
+            o_i, lse_i = unrolled_fwd_bhsd(
+                q_blk, k_seg, v_seg,
+                causal=diag,
+                sm_scale=scale, save_lse=True,
+                block_q=block_q, block_kv=block_kv,
+            )
+            if o_acc is None:
+                o_acc, lse_acc = o_i.astype(jnp.float32), lse_i
+            else:
+                # softmax_merge expects (B, S, H, D)/(B, H, S): adapt in
+                # bhsd domain manually.
+                m = jnp.maximum(lse_acc, lse_i)
+                m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+                w1 = jnp.where(jnp.isfinite(lse_acc), jnp.exp(lse_acc - m_safe), 0.0)
+                w2 = jnp.where(jnp.isfinite(lse_i), jnp.exp(lse_i - m_safe), 0.0)
+                den = jnp.where(w1 + w2 == 0.0, 1.0, w1 + w2)
+                o_acc = (
+                    o_acc * (w1 / den)[..., None]
+                    + o_i.astype(jnp.float32) * (w2 / den)[..., None]
+                )
+                lse_acc = m_safe + jnp.log(den)
+        outs.append(o_acc.astype(q.dtype))
+    out = jnp.concatenate(outs, axis=2)
+    return out.transpose(0, 2, 1, 3)
+
+
+def main5():
+    rng = np.random.default_rng(0)
+    print("== segmented parity ==", flush=True)
+    # S=2048 with seg 2 exercises multi-segment merge + diagonal seg.
+    q = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2048, 2, 64)), jnp.bfloat16)
+    a = flash_segmented(q, k, v, causal=True, seg_tiles=2)
+    r = flash_attention(q, k, v, causal=True)
+    err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32))))
+    print(f"err {err:.2e}", flush=True)
+    assert err < 3e-2, err
+
+    print("== segmented perf (causal) ==", flush=True)
+    for name, (b_, s_, h_, d_) in [
+        ("d64 b1 s16384", (1, 16384, 4, 64)),
+        ("d64 b1 s32768", (1, 32768, 2, 64)),
+    ]:
+        qq = jnp.asarray(rng.standard_normal((b_, s_, h_, d_)), jnp.bfloat16)
+        kk = jnp.asarray(rng.standard_normal((b_, s_, h_, d_)), jnp.bfloat16)
+        vv = jnp.asarray(rng.standard_normal((b_, s_, h_, d_)), jnp.bfloat16)
+        fl = 4 * b_ * h_ * s_ * s_ * d_ * 0.5
+        est_ms = fl / 70e12 * 1e3
+        hi = max(20, int(60.0 / est_ms))
+        it = (hi // 10, hi)
+        t_g = _bench(lambda a, b2, c: flash_attention(a, b2, c, causal=True), qq, kk, vv, it)
+        try:
+            t_s = _bench(
+                lambda a, b2, c: flash_segmented(a, b2, c, causal=True, seg_tiles=12),
+                qq, kk, vv, it,
+            )
+            print(f"{name}: segmented {t_s*1e3:.2f} ms ({fl/t_s/1e12:.1f} TF) vs grid {t_g*1e3:.2f} ms ({fl/t_g/1e12:.1f} TF) -> {t_g/t_s:.2f}x", flush=True)
+        except Exception as e:
+            print(f"{name}: FAIL {str(e)[:100]}", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "seg":
+    main5()

@@ -191,21 +191,34 @@ def unrolled_fwd_bhsd(
     """
     b, h, s, d = q.shape
     hkv = k.shape[1]
+    s_kv = k.shape[2]
     if h % hkv:
         raise ValueError(f"Hq ({h}) must be a multiple of Hkv ({hkv})")
+    if causal and s_kv != s:
+        # Rectangular extents are supported NON-causal only (segmented
+        # long-context callers slice interior kv spans; causal diagonal
+        # semantics need the square local coordinate alignment).
+        raise ValueError(
+            f"causal unrolled flash requires Sq == Skv, got {s} vs {s_kv}"
+        )
+    if s_kv % block_kv or s % block_q:
+        raise ValueError(
+            f"Sq ({s}) / Skv ({s_kv}) must be multiples of the blocks "
+            f"({block_q}, {block_kv})"
+        )
     group = h // hkv
     interp = resolve_interpret(interpret)
     if not interp and not unrolled_supported(
-        s, d, block_q=block_q, block_kv=block_kv, int8_qk=int8_qk
+        max(s, s_kv), d, block_q=block_q, block_kv=block_kv, int8_qk=int8_qk
     ):
         raise ValueError(
-            f"unrolled flash does not support S={s}, D={d}, blocks="
-            f"({block_q},{block_kv}), int8_qk={int8_qk}; gate with "
+            f"unrolled flash does not support Sq={s}, Skv={s_kv}, D={d}, "
+            f"blocks=({block_q},{block_kv}), int8_qk={int8_qk}; gate with "
             f"unrolled_supported()"
         )
     scale = sm_scale if sm_scale is not None else d ** -0.5
     n_q = s // block_q
-    n_kv_total = s // block_kv
+    n_kv_total = s_kv // block_kv
 
     if int8_qk:
         qt, qs = _quant_per_tensor(q)
