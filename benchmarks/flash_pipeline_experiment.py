@@ -806,3 +806,131 @@ def main5():
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "seg":
     main5()
+
+
+# ---------------------------------------------------------------------------
+# Variant 6: full-triangle single call — ALL q rows' tiles in ONE
+# straight-line body (grid = (b, h)). The triangular per-row calls cap
+# in-body overlap at the row extent (1-4 tiles at the headline
+# geometry); fusing the whole triangle gives the scheduler the maximal
+# straight-line window. Scoped-VMEM-bound: total tiles n(n+1)/2 <= ~16
+# -> S <= 2560 at 512x512. Aimed squarely at the headline row.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_fulltri(q_ref, k_ref, v_ref, o_ref, *, block_q: int,
+                    block_kv: int, sm_scale: float):
+    s, d = q_ref.shape[2], q_ref.shape[3]
+    n_q = s // block_q
+    for i in range(n_q):
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
+        m = jnp.full((block_q, 128), NEG_INF, jnp.float32)
+        l = jnp.zeros((block_q, 128), jnp.float32)
+        acc = jnp.zeros((block_q, d), jnp.float32)
+        kv_tiles = (i * block_q + block_q + block_kv - 1) // block_kv
+        for j in range(kv_tiles):
+            kk = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+            st = jax.lax.dot_general(
+                q, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            if (j + 1) * block_kv > i * block_q:
+                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
+                st = jnp.where(col <= row, st, NEG_INF)
+            m_curr = jnp.max(st, axis=1, keepdims=True)
+            m_next = jnp.maximum(m, m_curr)
+            rep = block_kv // 128
+            m_wide = m_next if rep == 1 else jnp.tile(m_next, (1, rep))
+            p = jnp.exp(st - m_wide)
+            alpha = jnp.exp(m - m_next)
+            l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+            m = m_next
+            vv = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :].astype(jnp.bfloat16)
+            pv = jax.lax.dot(
+                p.astype(jnp.bfloat16), vv, preferred_element_type=jnp.float32
+            )
+            alpha_d = alpha[:, :d] if d <= 128 else jnp.tile(alpha, (1, d // 128))
+            acc = acc * alpha_d + pv
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        l_inv_d = l_inv[:, :d] if d <= 128 else jnp.tile(l_inv, (1, d // 128))
+        o_ref[0, 0, pl.ds(i * block_q, block_q), :] = (acc * l_inv_d).astype(o_ref.dtype)
+
+
+def flash_fulltri(q, k, v, *, block_q=512, block_kv=512, sm_scale=None):
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    group = h // hkv
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    kern = functools.partial(
+        _kernel_fulltri, block_q=block_q, block_kv=block_kv, sm_scale=scale
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_: (b_, h_ // group, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_: (b_, h_ // group, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s, d), lambda b_, h_: (b_, h_, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
+
+
+def main6():
+    rng = np.random.default_rng(0)
+    print("== fulltri parity ==", flush=True)
+    q = jnp.asarray(rng.standard_normal((1, 1024, 2, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 1024, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 1024, 2, 64)), jnp.bfloat16)
+    a = flash_fulltri(q, k, v, block_q=256, block_kv=256)
+    r = flash_attention(q, k, v, causal=True)
+    err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32))))
+    print(f"err {err:.2e}", flush=True)
+    assert err < 3e-2
+
+    print("== fulltri perf (headline geometry) ==", flush=True)
+    from photonic_flash_attention_tpu.ops.flash_unrolled import (
+        flash_attention_unrolled,
+    )
+    for name, (b_, s_, h_, d_) in [
+        ("d64 b4 s2048", (4, 2048, 12, 64)),
+        ("d128gqa b4 s2048", (4, 2048, 32, 128)),
+    ]:
+        qq = jnp.asarray(rng.standard_normal((b_, s_, h_, d_)), jnp.bfloat16)
+        hkv_ = h_ // 4 if d_ == 128 else h_
+        kk = jnp.asarray(rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16)
+        vv = jnp.asarray(rng.standard_normal((b_, s_, hkv_, d_)), jnp.bfloat16)
+        fl = 4 * b_ * h_ * s_ * s_ * d_ * 0.5
+        est_ms = fl / 70e12 * 1e3
+        hi = max(30, int(60.0 / est_ms))
+        it = (hi // 10, hi)
+        t_tri = _bench(
+            lambda a, b2, c: flash_attention_unrolled(a, b2, c, causal=True),
+            qq, kk, vv, it,
+        )
+        try:
+            t_ft = _bench(
+                lambda a, b2, c: flash_fulltri(a, b2, c),
+                qq, kk, vv, it,
+            )
+            print(
+                f"{name}: fulltri {t_ft*1e3:.3f} ms ({fl/t_ft/1e12:.1f} TF) "
+                f"vs per-row tri {t_tri*1e3:.3f} ms ({fl/t_tri/1e12:.1f} TF) "
+                f"-> {t_tri/t_ft:.2f}x",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"{name}: fulltri FAIL {str(e)[:100]}", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "fulltri":
+    main6()
