@@ -359,17 +359,45 @@ class AttentionEngine:
 
             i8 = kind == KernelKind.FLASH_UNROLLED_INT8QK
 
-            @jax.jit
-            def fn(q, k, v, mask=None):
-                # Fixed 512x512 blocks: the kernel's measured envelope;
-                # autotuned grid-kernel block hints do not apply here.
-                return (
-                    flash_attention_unrolled(
-                        q, k, v, causal=causal, int8_qk=i8,
-                        block_q=512, block_kv=512,
-                    ),
-                    None,
-                )
+            if mask_kind == "key":
+
+                @jax.jit
+                def fn(q, k, v, kv_lens=None, k_bias=None):
+                    # Key padding as an in-kernel per-key bias (round 5):
+                    # a lens-only mask converts to the bias form (one
+                    # (B, Skv) fp32 stream — negligible next to K/V).
+                    skv_ = k.shape[1]
+                    if k_bias is None:
+                        keep = (
+                            jnp.arange(skv_, dtype=jnp.int32)[None]
+                            < kv_lens[:, None]
+                        )
+                        bias = jnp.where(keep, 0.0, DEFAULT_MASK_VALUE)
+                    else:
+                        bias = k_bias
+                    return (
+                        flash_attention_unrolled(
+                            q, k, v, causal=causal, int8_qk=i8,
+                            block_q=512, block_kv=512,
+                            k_bias=bias.astype(jnp.float32),
+                        ),
+                        None,
+                    )
+
+            else:
+
+                @jax.jit
+                def fn(q, k, v, mask=None):
+                    # Fixed 512x512 blocks: the kernel's measured
+                    # envelope; autotuned grid-kernel block hints do not
+                    # apply here.
+                    return (
+                        flash_attention_unrolled(
+                            q, k, v, causal=causal, int8_qk=i8,
+                            block_q=512, block_kv=512,
+                        ),
+                        None,
+                    )
 
         elif kind == KernelKind.FLASH_FP8:
             from ..ops.flash_fp8 import flash_attention_fp8
@@ -608,7 +636,10 @@ class AttentionEngine:
             fn = self._get_jitted(
                 kind, causal, need_weights, mask_kind, block_q, block_kv
             )
-            if kind == KernelKind.FLASH and mask_kind == "key":
+            if (
+                kind in (KernelKind.FLASH, KernelKind.FLASH_UNROLLED)
+                and mask_kind == "key"
+            ):
                 return fn(q_in, k, v, kv_lens=kv_lens, k_bias=k_bias)
             if kind == KernelKind.PAGED_DECODE:
                 return fn(q_in, k, v, kv_lens=kv_lens)

@@ -98,7 +98,7 @@ def unrolled_supported(
 
 
 def _body_tile(q, k_ref, v_ref, state, j, block_kv, sm_scale_arr, causal,
-               q_row0, bq, d, int8_qk):
+               q_row0, bq, d, int8_qk, kbias_ref=None):
     """One unrolled kv tile: SSA state in, SSA state out."""
     m, l, acc = state
     lanes = pl.ds(j * block_kv, block_kv)
@@ -113,6 +113,11 @@ def _body_tile(q, k_ref, v_ref, state, j, block_kv, sm_scale_arr, causal,
             q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale_arr[0]
+    if kbias_ref is not None:
+        # Per-key additive bias (post-scale, the flash.py kbias
+        # convention: 0 = attend, DEFAULT_MASK_VALUE = ignore, real
+        # values = bias). (1, block_kv) broadcast over q rows.
+        s = s + kbias_ref[0, 0:1, lanes]
     if causal and (j + 1) * block_kv > q_row0:
         # Only diagonal-straddling tiles pay the mask select.
         row = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0) + q_row0
@@ -133,8 +138,13 @@ def _body_tile(q, k_ref, v_ref, state, j, block_kv, sm_scale_arr, causal,
     return m_next, l, acc * alpha_d + pv
 
 
-def _kernel(q_ref, k_ref, v_ref, scale_ref, o_ref, *maybe_lse, block_kv: int,
-            q_row0: int, causal: bool, int8_qk: bool):
+def _kernel(q_ref, k_ref, v_ref, scale_ref, *rest, block_kv: int,
+            q_row0: int, causal: bool, int8_qk: bool, has_kbias: bool = False):
+    if has_kbias:
+        kbias_ref, o_ref, *maybe_lse = rest
+    else:
+        kbias_ref = None
+        o_ref, *maybe_lse = rest
     bq, d = q_ref.shape[2], q_ref.shape[3]
     n_kv = k_ref.shape[2] // block_kv
     q = q_ref[0, 0] if int8_qk else q_ref[0, 0].astype(jnp.bfloat16)
@@ -146,7 +156,7 @@ def _kernel(q_ref, k_ref, v_ref, scale_ref, o_ref, *maybe_lse, block_kv: int,
     for j in range(n_kv):
         state = _body_tile(
             q, k_ref, v_ref, state, j, block_kv, scale_ref, causal,
-            q_row0, bq, d, int8_qk,
+            q_row0, bq, d, int8_qk, kbias_ref=kbias_ref,
         )
     m, l, acc = state
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -180,6 +190,7 @@ def unrolled_fwd_bhsd(
     block_kv: int = 512,
     int8_qk: bool = False,
     save_lse: bool = False,
+    k_bias: Optional[jax.Array] = None,  # (B, S_kv) fp32 per-key bias
     interpret: Optional[bool] = None,
 ):
     """(B, H, S, D)-native unrolled forward; the layout flash.py's core
@@ -187,7 +198,10 @@ def unrolled_fwd_bhsd(
 
     Returns (o, lse) with lse (B, H, S) fp32 (natural log of the scaled
     -score softmax denominator, the flash.py residual convention) when
-    ``save_lse``, else (o, None).
+    ``save_lse``, else (o, None). ``k_bias`` adds a per-key score bias
+    post-scale (the flash.py kbias convention — key-padding masks and
+    real biases both ride it); rows with EVERY key masked follow the
+    grid kernel's finite-mask semantics.
     """
     b, h, s, d = q.shape
     hkv = k.shape[1]
@@ -236,7 +250,7 @@ def unrolled_fwd_bhsd(
         span = kv_tiles * block_kv
         kern = functools.partial(
             _kernel, block_kv=block_kv, q_row0=i * block_q, causal=causal,
-            int8_qk=int8_qk,
+            int8_qk=int8_qk, has_kbias=k_bias is not None,
         )
         out_shape = [
             jax.ShapeDtypeStruct((b, h, grid_rows * block_q, d), v.dtype)
@@ -257,29 +271,39 @@ def unrolled_fwd_bhsd(
                     (1, 1, block_q, 128), lambda b_, h_, r: (b_, h_, r, 0)
                 )
             )
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda b_, h_, r, i=i: (b_, h_, i + r, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, span, d), lambda b_, h_, r: (b_, h_ // group, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, span, d), lambda b_, h_, r: (b_, h_ // group, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        inputs = [qt, kt, vt, scale_arr]
+        if k_bias is not None:
+            # (B, 1, Skv): the singleton second-minor dim satisfies
+            # Mosaic's block-shape rule (must divide 8 or equal the
+            # array dim).
+            in_specs.append(
+                pl.BlockSpec((1, 1, span), lambda b_, h_, r: (b_, 0, 0))
+            )
+            inputs.append(k_bias.astype(jnp.float32)[:, None, :])
         res = pl.pallas_call(
             kern,
             grid=(b, h, grid_rows),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, block_q, d),
-                    lambda b_, h_, r, i=i: (b_, h_, i + r, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, span, d), lambda b_, h_, r: (b_, h_ // group, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, span, d), lambda b_, h_, r: (b_, h_ // group, 0, 0)
-                ),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=out_specs if save_lse else out_specs[0],
             out_shape=out_shape if save_lse else out_shape[0],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             ),
             interpret=interp,
-        )(qt, kt, vt, scale_arr)
+        )(*inputs)
         return res if save_lse else (res, None)
 
     if not causal:
@@ -318,6 +342,7 @@ def flash_attention_unrolled(
     block_q: int = 512,
     block_kv: int = 512,
     int8_qk: bool = False,
+    k_bias: Optional[jax.Array] = None,  # (B, Skv) fp32 per-key bias
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Unrolled-KV flash forward. (B, S, H, D) -> (B, S, H, D).
@@ -335,6 +360,7 @@ def flash_attention_unrolled(
         block_q=block_q,
         block_kv=block_kv,
         int8_qk=int8_qk,
+        k_bias=k_bias,
         interpret=interpret,
     )
     return out.transpose(0, 2, 1, 3)

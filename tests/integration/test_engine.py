@@ -78,7 +78,9 @@ class TestEngine:
         mask = jnp.broadcast_to(keep[:, None, None, :], (3, 1, 1024, 1024))
         eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
         out, _ = eng(q, k, v, mask)
-        assert eng.last_kernel_used == "flash"
+        # Round 5: key padding rides the unrolled flash kernel (in-kernel
+        # bias form) — the point is it is NOT the O(S^2) fused path.
+        assert eng.last_kernel_used == "flash_unrolled"
         ref, _ = attention_reference(q, k, v, mask)
         assert_close(out, ref)
 
@@ -90,7 +92,7 @@ class TestEngine:
         mask = jnp.asarray(km)[:, None, None, :]
         eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
         out, _ = eng(q, k, v, mask)
-        assert eng.last_kernel_used == "flash"
+        assert eng.last_kernel_used == "flash_unrolled"
         ref, _ = attention_reference(q, k, v, mask)
         assert_close(out, ref)
 
@@ -101,7 +103,7 @@ class TestEngine:
         lens = jnp.asarray([800, 513], jnp.int32)
         eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
         out, _ = eng(q, k, v, kv_lens=lens)
-        assert eng.last_kernel_used == "flash"
+        assert eng.last_kernel_used == "flash_unrolled"
         keep = jnp.arange(1024)[None] < lens[:, None]
         ref, _ = attention_reference(q, k, v, keep[:, None, None, :])
         assert_close(out, ref)
@@ -595,16 +597,23 @@ class TestUnrolledKernelRouting:
         ref, _ = attention_reference(q, k, v, causal=True)
         assert_close(out, ref, rtol=2e-2, atol=1e-2)
 
-    def test_unrolled_not_offered_for_masked(self, rng):
+    def test_key_mask_routes_unrolled_but_dense_does_not(self, rng):
+        """Round 5 (third pass): KEY masks ride the unrolled kernel via
+        the in-kernel bias form; DENSE (Sq, Skv) masks still cannot."""
         set_global_config(auto_kernel_selection=False, flash_threshold=512)
         eng = AttentionEngine(router=AdaptiveRouter(exploration_rate=0.0, seed=0))
         q, k, v = make_qkv(rng, s=1024)
         lens = jnp.asarray([700, 1000], jnp.int32)
         mask = (jnp.arange(1024)[None] < lens[:, None])[:, None, None, :]
         out, _ = eng(q, k, v, causal=True, mask=mask)
-        assert eng.last_kernel_used != "flash_unrolled"
+        assert eng.last_kernel_used == "flash_unrolled"
         ref, _ = attention_reference(q, k, v, mask=mask, causal=True)
         assert_close(out, ref, rtol=2e-2, atol=1e-2)
+        # Dense (per-query) structure -> not a key mask -> not unrolled.
+        dense = jnp.asarray(rng.random((2, 1, 1024, 1024)) > 0.05)
+        dense = dense.at[:, :, :, 0].set(True)
+        out2, _ = eng(q, k, v, causal=True, mask=dense)
+        assert eng.last_kernel_used != "flash_unrolled"
 
     def test_unrolled_not_offered_above_envelope(self, rng):
         """S=16384 exceeds the measured VMEM envelope: the engine must

@@ -175,3 +175,74 @@ class TestCoreIntegration:
                 / (jnp.linalg.norm(r.ravel()) + 1e-9)
             )
             assert rel < 0.05, rel
+
+
+class TestKeyBias:
+    """Round-5 second pass: per-key bias in the unrolled kernel — the
+    engine's key-padded path rides it."""
+
+    def test_k_bias_matches_oracle(self, rng):
+        q, k, v = qkv(rng)
+        bias = jnp.asarray(
+            0.5 * rng.standard_normal((2, 512)), jnp.float32
+        )
+        out = flash_attention_unrolled(
+            q, k, v, causal=True, block_q=128, block_kv=128, k_bias=bias
+        )
+        ref, _ = attention_reference(
+            q, k, v, causal=True, bias=bias[:, None, None, :]
+        )
+        assert_close(out, ref, rtol=2e-2, atol=1e-2)
+
+    def test_padding_mask_as_bias(self, rng):
+        from photonic_flash_attention_tpu.ops.reference import (
+            DEFAULT_MASK_VALUE,
+        )
+
+        q, k, v = qkv(rng)
+        lens = jnp.asarray([400, 233], jnp.int32)
+        keep = jnp.arange(512)[None] < lens[:, None]
+        bias = jnp.where(keep, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
+        out = flash_attention_unrolled(
+            q, k, v, causal=True, block_q=128, block_kv=128, k_bias=bias
+        )
+        ref, _ = attention_reference(
+            q, k, v, mask=keep[:, None, None, :], causal=True
+        )
+        assert_close(out, ref, rtol=2e-2, atol=1e-2)
+
+    def test_engine_key_mask_can_route_unrolled(self, rng):
+        import numpy as np
+
+        from photonic_flash_attention_tpu.config import set_global_config
+        from photonic_flash_attention_tpu.core.engine import AttentionEngine
+        from photonic_flash_attention_tpu.core.router import (
+            AdaptiveRouter,
+            KernelKind,
+            WorkloadCharacteristics,
+        )
+
+        set_global_config(auto_kernel_selection=True, flash_threshold=512)
+        router = AdaptiveRouter(exploration_rate=0.0, seed=0)
+        eng = AttentionEngine(router=router)
+        b, s = 2, 1024
+        q, k, v = qkv(rng, b=b, s=s)
+        w = WorkloadCharacteristics(
+            batch_size=b, q_len=s, kv_len=s, num_heads=4, head_dim=64,
+            causal=True, mask_kind="key", dtype="float32", num_kv_heads=4,
+        )
+        # Seed tables so the measured router picks the unrolled kernel.
+        for kind, ms in [
+            (KernelKind.FUSED, 9.0),
+            (KernelKind.FLASH, 3.0),
+            (KernelKind.FLASH_UNROLLED, 1.0),
+        ]:
+            router.record_measurement(kind, w, ms)
+        lens = jnp.asarray([700, 1000], jnp.int32)
+        out, _ = eng(q, k, v, causal=True, kv_lens=lens)
+        assert eng.last_kernel_used == "flash_unrolled"
+        keep = jnp.arange(s)[None] < lens[:, None]
+        ref, _ = attention_reference(
+            q, k, v, mask=keep[:, None, None, :], causal=True
+        )
+        assert_close(out, ref, rtol=2e-2, atol=1e-2)
