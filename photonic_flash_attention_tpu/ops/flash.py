@@ -1718,15 +1718,36 @@ def flash_attention_with_lse(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    if kv_lens is None and k_bias is None and _unrolled_core_ok(qt, kt, None):
+    if _unrolled_core_ok(qt, kt, None):
         # Round-5 unrolled forward with lse — ring attention's local
         # flash bodies (8K shards of a 64K ring divide 512) ride it too.
+        # Key padding / per-key bias fold into the kernel's bias stream
+        # (exact: masked keys underflow to p = 0 against any finite row
+        # max, and shards with zero valid keys never reach this call —
+        # the ring's idx-skip handles them).
         from .flash_unrolled import unrolled_fwd_bhsd
 
+        bias = None
+        if k_bias is not None:
+            bias = k_bias.astype(jnp.float32)
+        if kv_lens is not None:
+            keep = (
+                jnp.arange(skv, dtype=jnp.int32)[None] < kv_lens[:, None]
+            )
+            bias = jnp.where(
+                keep, 0.0 if bias is None else bias, DEFAULT_MASK_VALUE
+            ).astype(jnp.float32)
         o, lse = unrolled_fwd_bhsd(
             qt, kt, vt, causal=causal, sm_scale=scale, save_lse=True,
-            interpret=interp,
+            k_bias=bias, interpret=interp,
         )
+        if kv_lens is not None:
+            # Zero-valid-key sequences: the finite-mask bias form yields
+            # a finite (garbage) lse; restore the grid kernel's exact
+            # contract (lse = -inf, o = 0) so ring merges drop the rows.
+            empty = (kv_lens == 0)[:, None, None]
+            lse = jnp.where(empty, -jnp.inf, lse)
+            o = jnp.where(empty[..., None], 0.0, o).astype(o.dtype)
         return o.transpose(0, 2, 1, 3), lse
     o, lse = _flash_core_fwd_impl(
         qt,

@@ -246,3 +246,50 @@ class TestKeyBias:
             q, k, v, mask=keep[:, None, None, :], causal=True
         )
         assert_close(out, ref, rtol=2e-2, atol=1e-2)
+
+
+class TestWithLseBiasForm:
+    """flash_attention_with_lse rides the unrolled kernel for bf16
+    in-envelope shapes, converting kv_lens to the in-kernel bias form —
+    including the zero-valid-keys contract ring merges rely on."""
+
+    def test_lens_with_empty_sequence(self, rng):
+        from photonic_flash_attention_tpu.ops.flash import (
+            flash_attention_with_lse,
+        )
+
+        b, s = 3, 512
+        q, k, v = qkv(rng, b=b, s=s)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        lens = jnp.asarray([512, 200, 0], jnp.int32)
+        o, lse = flash_attention_with_lse(qb, kb, vb, kv_lens=lens)
+        # Empty sequence: o = 0, lse = -inf (the grid kernel's contract).
+        assert bool(jnp.all(o[2] == 0))
+        assert bool(jnp.all(jnp.isinf(lse[2]) & (lse[2] < 0)))
+        # Valid sequences match the masked oracle.
+        keep = (jnp.arange(s)[None] < lens[:2, None])[:, None, None, :]
+        ref, _ = attention_reference(q[:2], k[:2], v[:2], mask=keep)
+        err = float(
+            jnp.max(jnp.abs(o[:2].astype(jnp.float32) - ref))
+        )
+        assert err < 5e-2
+
+    def test_lens_plus_bias_compose(self, rng):
+        from photonic_flash_attention_tpu.ops.flash import (
+            flash_attention_with_lse,
+        )
+
+        b, s = 2, 512
+        q, k, v = qkv(rng, b=b, s=s)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        lens = jnp.asarray([400, 512], jnp.int32)
+        bias = jnp.asarray(0.5 * rng.standard_normal((b, s)), jnp.float32)
+        o, _ = flash_attention_with_lse(
+            qb, kb, vb, causal=True, kv_lens=lens, k_bias=bias
+        )
+        keep = (jnp.arange(s)[None] < lens[:, None])[:, None, None, :]
+        ref, _ = attention_reference(
+            q, k, v, mask=keep, causal=True, bias=bias[:, None, None, :]
+        )
+        err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - ref)))
+        assert err < 5e-2
