@@ -905,13 +905,39 @@ class ServingEngine:
             self._dev_tables = jnp.asarray(tables)
             self._tables_dirty = False
 
+        # Occupancy-bucketed page-table width (round 5): the paged decode
+        # kernel's grid runs one step per (padded) table column block, so
+        # a capacity-width table (max_pages_per_seq = 64 -> 16 blocks per
+        # sequence at pages_per_block 4) makes every layer iterate ~16x
+        # more grid steps than short sequences occupy — measured as THE
+        # serving-decode overhead (the m=8 GEMM chain alone already runs
+        # at the 707 MB weight-read floor). Slice the device tables to
+        # the power-of-two page bucket covering the batch's longest
+        # sequence plus this window; compile count is bounded by
+        # log2(windows) x log2(widths).
+        max_len = max(
+            self._sequences[sid].length
+            for sid in self._slots
+            if sid is not None and self._ready(self._sequences[sid])
+        )
+        need_pages = -(-(max_len + n_steps) // self.page_size)
+        w_pages = 1
+        while w_pages < need_pages:
+            w_pages *= 2
+        w_pages = min(w_pages, self.max_pages_per_seq)
+        tables_in = (
+            self._dev_tables[:, :w_pages]
+            if w_pages < self.max_pages_per_seq
+            else self._dev_tables
+        )
+
         key = jax.random.fold_in(self._base_key, self._steps)
         t0 = time.perf_counter()
         toks, self.pages_tree = self._window(
             self.params,
             jnp.asarray(host),
             self.pages_tree,
-            self._dev_tables,
+            tables_in,
             key,
             jnp.float32(self.temperature),
             n_steps=n_steps,

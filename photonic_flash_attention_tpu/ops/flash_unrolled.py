@@ -26,11 +26,14 @@ waste and only diagonal-straddling tiles pay the mask select (which the
 round-5 probe measured as nearly free anyway). Non-causal collapses to
 a single call with the full extent per row.
 
-Scope (the 90% inference fast path): plain causal/non-causal, GQA,
-optional per-tensor int8-QK. No kv_lens/k_bias/dense-bias/dropout/
-weights — those ride the grid kernel (ops/flash.py), and the router
-only offers this kernel for mask-free non-decode calls. Forward-only:
-training takes flash_attention's custom VJP.
+Scope: causal/non-causal square self-attention, GQA, optional
+per-tensor int8-QK, and (third pass) a per-key additive bias stream —
+key-padding masks and real per-key biases; `flash_attention_with_lse`
+and the engine's "key" route convert kv_lens to the bias form. Dense
+(Sq, Skv) biases, windows, rel-bias tables, dropout, and need_weights
+ride the grid kernel (ops/flash.py). The forward is engaged inside
+flash_attention's custom VJP together with the matching unrolled
+backward (ops/flash_bwd.py) for plain square bf16 shapes.
 
 VMEM bound: the whole per-(b,h) K/V extent must sit in VMEM and the
 unrolled body's temporaries in scoped VMEM (16 MB). Measured limits:

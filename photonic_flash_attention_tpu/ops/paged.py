@@ -448,6 +448,7 @@ def _fused_decode_kernel(
     page_size: int,
     quantized: bool,
     has_bias: bool = False,
+    num_seqs_static: int = 1,
 ):
     """Fused decode, head-folded: grid is (B, kv_blocks) — ALL kv heads
     are handled inside one grid step with batched matmuls, and each page
@@ -532,16 +533,18 @@ def _fused_decode_kernel(
     slot = jax.lax.rem(blk, 2)
     next_slot = jax.lax.rem(blk + 1, 2)
 
-    @pl.when(blk == 0)
-    def _init():
-        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
-        acc_scratch[:] = jnp.zeros_like(acc_scratch)
-
-        # --- RMW token write (all heads at once), BEFORE any read DMA ---
-        flat = slots_ref[b]
-        pid = flat // page_size
-        off = flat % page_size
+    @pl.when(jnp.logical_and(b == 0, blk == 0))
+    def _rmw_all():
+        # --- Batched RMW token write for ALL sequences (round 5) ---
+        # The round-4 kernel staged each sequence's page inside its own
+        # (b, blk=0) grid step: read -> wait -> insert -> write -> wait,
+        # a serial latency chain repeated B times per layer — measured
+        # ~41 us/layer at B=8 (vs ~6 us of actual KV bytes), THE serving
+        # decode overhead once the GEMMs hit the weight-read floor.
+        # Batching all B sequences' staging into the first grid step
+        # overlaps the B x 4 DMA latencies (different sequences own
+        # disjoint pages; empty slots share the trash page, where
+        # last-write-wins is harmless).
         pairs = [
             (k_pages_hbm, k_out, page_k, k_ins_ref, 0),
             (v_pages_hbm, v_out, page_v, v_ins_ref, 1),
@@ -549,44 +552,62 @@ def _fused_decode_kernel(
         if quantized:
             pairs.append((k_scales_hbm, ks_out, page_ks, ks_ins_ref, 2))
             pairs.append((v_scales_hbm, vs_out, page_vs, vs_ins_ref, 3))
-        for src, _dst, stage, _ins, si in pairs:
-            pltpu.make_async_copy(
-                src.at[lyr, :, pid], stage, wsems.at[si]
-            ).start()
-        for src, _dst, stage, _ins, si in pairs:
-            pltpu.make_async_copy(
-                src.at[lyr, :, pid], stage, wsems.at[si]
-            ).wait()
-        # Masked column insert: ins is lane-replicated -> a select against
-        # the lane iota places the value with no transpose.
-        for _src, dst, stage, ins, si in pairs:
-            hkv_, rows = stage.shape[0], stage.shape[1]
-            col_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (hkv_, rows, page_size), 2
-            )
-            ins_tile = ins[0]  # (Hkv, rows, 128)
-            if page_size > 128:
-                ins_tile = jnp.tile(ins_tile, (1, 1, page_size // 128))
-            else:
-                ins_tile = ins_tile[:, :, :page_size]
-            stage[:] = jnp.where(
-                col_iota == off, ins_tile.astype(stage.dtype), stage[:]
-            )
-            pltpu.make_async_copy(
-                stage, dst.at[lyr, :, pid], wsems.at[si]
-            ).start()
-        for _src, dst, stage, _ins, si in pairs:
-            pltpu.make_async_copy(
-                stage, dst.at[lyr, :, pid], wsems.at[si]
-            ).wait()
 
-        # Reads may now start: the pool (aliased in/out) holds the token.
-        # Guarded by the same predicate the first wait_dma runs under
-        # (active at blk=0 is `length > 0`): an empty serving slot must
-        # not start DMAs that are never waited — the leaked semaphore
-        # credits would satisfy a later grid row's wait early, reading
-        # stale K/V. (The RMW above is safe for empty slots: their page
-        # table rows point at the reserved trash page.)
+        def pid_of(b2):
+            return slots_ref[b2] // page_size
+
+        for b2 in range(num_seqs_static):
+            pid = pid_of(b2)
+            for src, _dst, stage, _ins, si in pairs:
+                pltpu.make_async_copy(
+                    src.at[lyr, :, pid], stage.at[b2], wsems.at[si]
+                ).start()
+        for b2 in range(num_seqs_static):
+            for src, _dst, stage, _ins, si in pairs:
+                pltpu.make_async_copy(
+                    src.at[0, :, 0], stage.at[b2], wsems.at[si]
+                ).wait()
+        # Masked column inserts (VPU selects, all sequences).
+        for b2 in range(num_seqs_static):
+            off = slots_ref[b2] % page_size
+            for _src, _dst, stage, ins, si in pairs:
+                hkv_, rows = stage.shape[1], stage.shape[2]
+                col_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (hkv_, rows, page_size), 2
+                )
+                ins_tile = ins[b2]  # (Hkv, rows, 128)
+                if page_size > 128:
+                    ins_tile = jnp.tile(ins_tile, (1, 1, page_size // 128))
+                else:
+                    ins_tile = ins_tile[:, :, :page_size]
+                stage[b2] = jnp.where(
+                    col_iota == off, ins_tile.astype(stage.dtype), stage[b2]
+                )
+        for b2 in range(num_seqs_static):
+            pid = pid_of(b2)
+            for _src, dst, stage, _ins, si in pairs:
+                pltpu.make_async_copy(
+                    stage.at[b2], dst.at[lyr, :, pid], wsems.at[si]
+                ).start()
+        for b2 in range(num_seqs_static):
+            for _src, dst, stage, _ins, si in pairs:
+                pltpu.make_async_copy(
+                    stage.at[b2], dst.at[0, :, 0], wsems.at[si]
+                ).wait()
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+        # Reads may start: grid steps run sequentially, so the batched
+        # RMW above (global step 0) has completed and the pool (aliased
+        # in/out) holds every sequence's token. Guarded by the same
+        # predicate the first wait_dma runs under (active at blk=0 is
+        # `length > 0`): an empty serving slot must not start DMAs that
+        # are never waited — the leaked semaphore credits would satisfy
+        # a later grid row's wait early, reading stale K/V.
         @pl.when(length > 0)
         def _():
             start_dma(0, 0)
@@ -769,6 +790,7 @@ def paged_decode_attention(
         page_size=page_size,
         quantized=quantized,
         has_bias=has_bias,
+        num_seqs_static=b,
     )
 
     sdtype = jnp.float32
@@ -783,10 +805,13 @@ def paged_decode_attention(
         grid=(b, num_blocks),
         in_specs=[
             seq_spec(qg),
-            seq_spec(k_ins),
-            seq_spec(v_ins),
-            seq_spec(ks_ins),
-            seq_spec(vs_ins),
+            # Full (B, ...) blocks: the batched RMW at global step 0
+            # inserts every sequence's token, so all token columns must
+            # be resident in that step (1-2 MB at B=8).
+            pl.BlockSpec(k_ins.shape, lambda b_, blk, *refs: (0, 0, 0, 0)),
+            pl.BlockSpec(v_ins.shape, lambda b_, blk, *refs: (0, 0, 0, 0)),
+            pl.BlockSpec(ks_ins.shape, lambda b_, blk, *refs: (0, 0, 0, 0)),
+            pl.BlockSpec(vs_ins.shape, lambda b_, blk, *refs: (0, 0, 0, 0)),
             bias_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # k_pages
             pl.BlockSpec(memory_space=pl.ANY),  # v_pages
@@ -811,10 +836,11 @@ def paged_decode_attention(
             pltpu.VMEM((2, hkv, 1, block_tokens), sdtype),
             pltpu.VMEM((2, hkv, 1, block_tokens), sdtype),
             pltpu.SemaphoreType.DMA((2, 2, 2)),
-            pltpu.VMEM((hkv, d, page_size), k_pages.dtype),  # page staging
-            pltpu.VMEM((hkv, d, page_size), v_pages.dtype),
-            pltpu.VMEM((hkv, 1, page_size), sdtype),
-            pltpu.VMEM((hkv, 1, page_size), sdtype),
+            # Page staging for the BATCHED RMW (leading B dim).
+            pltpu.VMEM((b, hkv, d, page_size), k_pages.dtype),
+            pltpu.VMEM((b, hkv, d, page_size), v_pages.dtype),
+            pltpu.VMEM((b, hkv, 1, page_size), sdtype),
+            pltpu.VMEM((b, hkv, 1, page_size), sdtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
