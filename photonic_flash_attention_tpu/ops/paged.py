@@ -860,7 +860,14 @@ def paged_decode_attention(
         # v=11, ks=12, vs=13.
         input_output_aliases={10: 1, 11: 2, 12: 3, 13: 4},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # Both axes ARBITRARY (round 5): the batched RMW at
+            # (b=0, blk=0) writes EVERY sequence's token before any
+            # other grid step's reads, which is only sound if grid steps
+            # execute in order — "parallel" would license Mosaic to
+            # reorder/split the batch axis. Sequential execution is what
+            # a single v5e core does anyway; this just forbids the
+            # reordering.
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interp,
     )(
