@@ -301,6 +301,38 @@ def _training_row():
     }
 
 
+def _training_row_d128():
+    """Llama-geometry (GQA, D=128) training row — driver-visible since
+    round 5 (round 4 tracked it only in a hand-run artifact at 131.5
+    TFLOP/s)."""
+    from photonic_flash_attention_tpu.ops.flash import flash_attention
+
+    B, S, Hq, Hkv, D = 2, 4096, 32, 8, 128
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, causal=True, block_q=512, block_kv=512)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2))
+
+    def fn(c, k, v):
+        dq, dk, dv = grad(c, k, v)
+        return (c + dq.astype(c.dtype) * jnp.bfloat16(1e-6)).astype(c.dtype)
+
+    t = _bench(fn, q, k, v, iters=(5, 30))
+    fl = 4 * B * Hq * S * S * D * 0.5 * 3.5
+    return {
+        "name": "train_fwd_bwd_b2_s4096_d128gqa",
+        "ms": round(t * 1e3, 4),
+        "tflops": round(fl / t / 1e12, 1),
+        "note": "GQA 32/8 D=128 fwd+bwd via unrolled kernels, 3.5x fwd model",
+    }
+
+
 def _serving_row():
     """GPT-2-medium continuous batching, STEADY STATE (VERDICT r4 #2).
 
@@ -757,6 +789,12 @@ def main() -> None:
         print("training row done", file=sys.stderr, flush=True)
     except Exception as e:  # pragma: no cover
         print(f"training row failed: {e}", file=sys.stderr, flush=True)
+
+    try:
+        rows.append(_training_row_d128())
+        print("training d128 row done", file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"training d128 row failed: {e}", file=sys.stderr, flush=True)
 
     try:
         rows.append(_serving_row())
